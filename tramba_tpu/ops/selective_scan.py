@@ -1,0 +1,194 @@
+"""Selective-scan (S6) recurrence, TPU-native.
+
+Replaces the reference's external CUDA extensions ``selective_scan_cuda_oflex``
+/ ``_core`` / original mamba kernels (wrapped at ``Models/SS2D/csms6s.py:858-923``)
+with:
+
+* a **Pallas TPU kernel** for the first-order linear recurrence
+  ``h_t = a_t * h_{t-1} + b_t`` — one HBM pass, in-chunk Hillis-Steele scan
+  along sublanes, fp32 carry held in VMEM scratch across sequence chunks;
+* a pure-JAX ``lax.associative_scan`` reference backend (plays the role the
+  reference's ``SelectiveScanFake``/pytorch fallback played: an oracle and a
+  portable fallback);
+* a ``custom_vjp`` whose backward is the *same* kernel run on the reversed,
+  index-shifted coefficients (the adjoint of a linear recurrence is a linear
+  recurrence), plus fused elementwise math.
+
+The surrounding selective-scan math (Δ softplus discretization, B·u input,
+C·h + D·u output — what the CUDA kernel computed, see csms6s.py:147-148 and
+the recurrence documented in SURVEY.md §2.6) is plain jnp so XLA fuses it
+with neighbouring projections.
+
+Layout: sequences are ``(..., L, C)`` — channels on lanes (pad to 128),
+sequence on sublanes, scanned in chunks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["linear_scan", "selective_scan"]
+
+
+# ---------------------------------------------------------------------------
+# linear recurrence h_t = a_t * h_{t-1} + b_t   (h_{-1} = 0), scan over axis -2
+# ---------------------------------------------------------------------------
+
+
+def _linear_scan_assoc(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Reference backend: O(log L) associative scan (XLA collective-permute free)."""
+
+    def combine(left, right):
+        a_l, b_l = left
+        a_r, b_r = right
+        return a_l * a_r, a_r * b_l + b_r
+
+    _, h = jax.lax.associative_scan(combine, (a, b), axis=-2)
+    return h
+
+
+def _scan_chunk_kernel(a_ref, b_ref, h_ref, carry):
+    """One (rows=T sequence, lanes=C channels) chunk of the recurrence."""
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+
+    a = a_ref[0].astype(jnp.float32)  # (T, C)
+    b = b_ref[0].astype(jnp.float32)
+    T = a.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    s = 1
+    # Hillis-Steele inclusive scan along sublanes: log2(T) VPU steps in VMEM.
+    while s < T:
+        a_sh = pltpu.roll(a, shift=s, axis=0)
+        b_sh = pltpu.roll(b, shift=s, axis=0)
+        valid = row >= s
+        a_sh = jnp.where(valid, a_sh, 1.0)
+        b_sh = jnp.where(valid, b_sh, 0.0)
+        b = b + a * b_sh
+        a = a * a_sh
+        s *= 2
+    h = a * carry[...] + b
+    carry[...] = h[T - 1 :, :]
+    h_ref[0] = h.astype(h_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def _linear_scan_pallas(a, b, chunk: int = 256, interpret: bool = False):
+    """(R, L, C) fp32 recurrence via Pallas; single pass over HBM."""
+    R, L, C = a.shape
+    T = min(chunk, L)
+    grid = (R, pl.cdiv(C, 128), pl.cdiv(L, T))
+    spec = pl.BlockSpec((1, T, 128), lambda r, c, t: (r, t, c), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _scan_chunk_kernel,
+        out_shape=jax.ShapeDtypeStruct((R, L, C), jnp.float32),
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=spec,
+        scratch_shapes=[pltpu.VMEM((1, 128), jnp.float32)],
+        interpret=interpret,
+    )(a, b)
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _linear_scan_impl(a, b, backend: Optional[str]):
+    if backend == "assoc":
+        return _linear_scan_assoc(a, b)
+    shape = a.shape
+    a3 = a.reshape((-1,) + shape[-2:]).astype(jnp.float32)
+    b3 = b.reshape((-1,) + shape[-2:]).astype(jnp.float32)
+    h = _linear_scan_pallas(a3, b3, interpret=not _on_tpu())
+    return h.reshape(shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def linear_scan(a: jnp.ndarray, b: jnp.ndarray, backend: Optional[str] = None) -> jnp.ndarray:
+    """h with h_t = a_t * h_{t-1} + b_t over axis -2, h_{-1} = 0.
+
+    ``backend``: None/'pallas' (TPU kernel; interpreter off-TPU) or 'assoc'
+    (pure-XLA associative scan).  fp32 internally regardless of input dtype.
+    """
+    return _linear_scan_impl(a, b, backend)
+
+
+def _linear_scan_fwd(a, b, backend):
+    h = _linear_scan_impl(a, b, backend)
+    return h, (a, h)
+
+
+def _linear_scan_bwd(backend, res, g):
+    a, h = res
+    # adjoint: lam_t = g_t + a_{t+1} * lam_{t+1}  -> reversed linear scan
+    a_up = jnp.concatenate([a[..., 1:, :], jnp.zeros_like(a[..., :1, :])], axis=-2)
+    lam = jnp.flip(
+        _linear_scan_impl(jnp.flip(a_up, axis=-2), jnp.flip(g, axis=-2), backend), axis=-2
+    )
+    h_prev = jnp.concatenate([jnp.zeros_like(h[..., :1, :]), h[..., :-1, :]], axis=-2)
+    da = (lam * h_prev).astype(a.dtype)
+    db = lam.astype(g.dtype)
+    return da, db
+
+
+linear_scan.defvjp(_linear_scan_fwd, _linear_scan_bwd)
+
+
+# ---------------------------------------------------------------------------
+# selective scan (the S6 op the CUDA extension computed)
+# ---------------------------------------------------------------------------
+
+
+def selective_scan(
+    u: jnp.ndarray,  # (B, K, L, D)
+    dt: jnp.ndarray,  # (B, K, L, D) pre-softplus
+    A: jnp.ndarray,  # (K, D, N)  (already negative: A = -exp(A_log))
+    Bc: jnp.ndarray,  # (B, K, L, N)
+    Cc: jnp.ndarray,  # (B, K, L, N)
+    D: jnp.ndarray,  # (K, D)
+    dt_bias: Optional[jnp.ndarray] = None,  # (K, D)
+    backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """y_t = C_t · h_t + D * u_t with h_t = exp(Δ_t A) h_{t-1} + Δ_t B_t u_t.
+
+    Δ_t = softplus(dt_t + dt_bias).  State carried in fp32 (matching the CUDA
+    kernel's fp32 state, csms6s.py:147-148).  Returns y in u's dtype, shape
+    (B, K, L, D).
+    """
+    dtf = dt.astype(jnp.float32)
+    if dt_bias is not None:
+        dtf = dtf + dt_bias.astype(jnp.float32)[None, :, None, :]
+    delta = jax.nn.softplus(dtf)  # (B, K, L, D)
+    uf = u.astype(jnp.float32)
+    Af = A.astype(jnp.float32)
+    Bf = Bc.astype(jnp.float32)
+    Cf = Cc.astype(jnp.float32)
+
+    N = A.shape[-1]
+    du = delta * uf  # (B, K, L, D)
+    if N == 1:
+        a = jnp.exp(delta * Af[None, :, None, :, 0])  # (B, K, L, D)
+        b = du * Bf  # broadcast (B, K, L, 1) over D
+        h = linear_scan(a, b, backend)
+        y = h * Cf
+    else:
+        # general N: fold the state axis into channels
+        Bsh, K, L, Dch = u.shape
+        a = jnp.exp(delta[..., :, None] * Af[None, :, None, :, :])  # (B,K,L,D,N)
+        b = du[..., :, None] * Bf[:, :, :, None, :]  # (B,K,L,D,N)
+        h = linear_scan(
+            a.reshape(Bsh, K, L, Dch * N), b.reshape(Bsh, K, L, Dch * N), backend
+        ).reshape(Bsh, K, L, Dch, N)
+        y = jnp.einsum("bkldn,bkln->bkld", h, Cf)
+    y = y + uf * D.astype(jnp.float32)[None, :, None, :]
+    return y.astype(u.dtype)
