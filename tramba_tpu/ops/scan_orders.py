@@ -303,13 +303,15 @@ class ScanOrder:
         self._idx_np = idx
         self._inv_np = inv
 
-    @functools.cached_property
-    def idx(self) -> jnp.ndarray:
-        return jnp.asarray(self._idx_np)
+    @property
+    def idx(self) -> np.ndarray:
+        # kept as numpy: embedded as a jit-time constant per trace (caching a
+        # jnp array would leak tracers out of the first trace that builds it)
+        return self._idx_np
 
-    @functools.cached_property
-    def inv(self) -> jnp.ndarray:
-        return jnp.asarray(self._inv_np)
+    @property
+    def inv(self) -> np.ndarray:
+        return self._inv_np
 
 
 @functools.lru_cache(maxsize=None)
