@@ -1,0 +1,62 @@
+"""Benchmark: flagship Tramba-V 384px inference throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: 500 images/sec/chip @ 384px (BASELINE.md).
+
+Note: on the tunneled axon backend, block_until_ready does not synchronize;
+completion is forced by fetching a scalar reduction of the output.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from tramba_tpu.models.tramba import TrambaV
+
+    batch = 16
+    dtype = jnp.bfloat16
+    model = TrambaV(dtype=dtype)
+    x = jnp.zeros((batch, 384, 384, 3), dtype)
+    params = jax.jit(lambda k: model.init(k, x))(jax.random.key(0))
+
+    @jax.jit
+    def fwd(p, a):
+        outs = model.apply(p, a)
+        # full-res saliency head + a scalar handle to force completion
+        return outs[-1], jnp.sum(outs[-1].astype(jnp.float32))
+
+    def sync(out):
+        return float(out[1])
+
+    sync(fwd(params, x))  # compile
+    # warmup
+    for _ in range(3):
+        out = fwd(params, x)
+    sync(out)
+
+    iters = 30
+    t0 = time.time()
+    for _ in range(iters):
+        out = fwd(params, x)
+    sync(out)
+    dt = (time.time() - t0) / iters
+    ips = batch / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "images_per_sec_per_chip_384px_bf16",
+                "value": round(ips, 2),
+                "unit": "img/s",
+                "vs_baseline": round(ips / 500.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

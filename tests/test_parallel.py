@@ -1,0 +1,53 @@
+"""Multi-device SPMD tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import __graft_entry__ as graft
+from tramba_tpu.parallel.mesh import data_sharding, make_mesh, shard_batch
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dryrun_multichip():
+    graft.dryrun_multichip(8)
+
+
+def test_shard_batch_layout():
+    mesh = make_mesh(("data",))
+    x = jnp.zeros((8, 4, 4, 3))
+    xs = shard_batch(x, mesh)
+    assert xs.sharding == data_sharding(mesh)
+    # each device holds exactly one batch element
+    assert xs.addressable_shards[0].data.shape == (1, 4, 4, 3)
+
+
+def test_dp_step_matches_single_device():
+    """DP-sharded train step computes the same loss as unsharded."""
+    from tramba_tpu.models.tramba import TrambaV
+    from tramba_tpu.train.optim import make_optimizer
+    from tramba_tpu.train.step import create_train_state, make_train_step
+
+    model = TrambaV(img_size=32, dims=8, enc_depths=(1, 1), dec_depths=(1, 1),
+                    ssm_backend="assoc")
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+    gts = jnp.asarray((rng.uniform(size=(8, 32, 32, 1)) > 0.5).astype(np.float32))
+    params = model.init(jax.random.key(0), images[:1])
+    tx = make_optimizer()
+    key = jax.random.key(1)
+
+    step = make_train_step(donate=False)
+    state1 = create_train_state(model, params, tx)
+    _, m1 = step(state1, images, gts, key)
+
+    mesh = make_mesh(("data",))
+    from tramba_tpu.parallel.mesh import replicate_tree
+
+    state2 = replicate_tree(create_train_state(model, params, tx), mesh)
+    _, m2 = step(state2, shard_batch(images, mesh), shard_batch(gts, mesh),
+                 jax.device_put(key, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)

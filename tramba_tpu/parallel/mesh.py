@@ -1,0 +1,43 @@
+"""Device mesh + sharding helpers.
+
+The reference has no live distributed path (SURVEY.md §2.11); this is the
+framework's first-class replacement: a ``jax.sharding.Mesh`` over all chips,
+batch-data-parallel ``NamedSharding`` for inputs, replicated parameters, and
+compiler-inserted psums for gradients.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch", "replicate_tree"]
+
+
+def make_mesh(axis_names: Sequence[str] = ("data",), devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    shape = [len(devices)] + [1] * (len(axis_names) - 1)
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the 'data' mesh axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a pytree of per-host arrays with batch axis sharded over 'data'."""
+    sh = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate_tree(tree, mesh: Mesh):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,53 @@
+"""Training losses: deep-supervision BCE + soft IoU.
+
+Reference semantics: ``utils/loss.py:6-11`` (soft IoU on sigmoid predictions)
+and ``train.py:53-95`` (each head bilinear-upsampled to full resolution,
+BCEWithLogits + IoU summed with unit weights).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["bce_with_logits", "iou_loss", "deep_supervision_loss"]
+
+
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Mean binary cross-entropy on logits (torch BCEWithLogitsLoss semantics)."""
+    logits = logits.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
+    # log(1+exp(-|x|)) + max(x,0) - x*t  — numerically stable
+    loss = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return jnp.mean(loss)
+
+
+def iou_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Soft IoU loss on sigmoid predictions (utils/loss.py:6-11).
+
+    Reduces over spatial dims per sample, then averages: 1 - (inter+1)/(union+1).
+    """
+    pred = jax.nn.sigmoid(logits.astype(jnp.float32))
+    targets = targets.astype(jnp.float32)
+    axes = tuple(range(1, pred.ndim))
+    inter = jnp.sum(pred * targets, axis=axes)
+    union = jnp.sum(pred + targets, axis=axes) - inter
+    return jnp.mean(1.0 - (inter + 1.0) / (union + 1.0))
+
+
+def _resize_bilinear(x: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    if x.shape[1] == H and x.shape[2] == W:
+        return x
+    return jax.image.resize(x, (x.shape[0], H, W, x.shape[3]), method="bilinear")
+
+
+def deep_supervision_loss(outputs: Sequence[jnp.ndarray], gt: jnp.ndarray) -> jnp.ndarray:
+    """Sum of (BCE + IoU) over all heads, each upsampled to gt resolution."""
+    H, W = gt.shape[1], gt.shape[2]
+    total = 0.0
+    for out in outputs:
+        up = _resize_bilinear(out, H, W)
+        total = total + bce_with_logits(up, gt) + iou_loss(up, gt)
+    return total

@@ -1,0 +1,52 @@
+"""Optimizer policy: Adam with 10x lower encoder LR and step decay.
+
+Reference: ``train.py:266-280`` (params whose name contains "encoder" train
+at lr*0.1) and ``utils/lr.py:1-17`` (multiply lr by ``rate`` at each listed
+decay epoch; default schedule: x0.2 at epoch 60 over 80 epochs).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import optax
+
+__all__ = ["step_decay_schedule", "make_optimizer", "encoder_label_fn"]
+
+
+def step_decay_schedule(base_lr: float, decay_epochs: Sequence[int], rate: float, steps_per_epoch: int):
+    boundaries = {int(e) * steps_per_epoch: rate for e in decay_epochs}
+    return optax.piecewise_constant_schedule(base_lr, boundaries)
+
+
+def encoder_label_fn(params) -> dict:
+    """Label each top-level-path param 'encoder' or 'rest' (train.py:267-278)."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def label_tree(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "encoder" if "encoder" in jax.tree_util.keystr(path).lower() else "rest",
+            tree,
+        )
+
+    del flat
+    return label_tree(params)
+
+
+def make_optimizer(
+    base_lr: float = 1e-4,
+    decay_epochs: Sequence[int] = (60,),
+    decay_rate: float = 0.2,
+    steps_per_epoch: int = 1,
+    encoder_lr_scale: float = 0.1,
+    params=None,
+):
+    sched = step_decay_schedule(base_lr, decay_epochs, decay_rate, steps_per_epoch)
+    enc_sched = step_decay_schedule(base_lr * encoder_lr_scale, decay_epochs, decay_rate, steps_per_epoch)
+    tx = optax.multi_transform(
+        {"encoder": optax.adam(enc_sched), "rest": optax.adam(sched)},
+        encoder_label_fn,
+    )
+    return tx
