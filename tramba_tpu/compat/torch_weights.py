@@ -1,0 +1,187 @@
+"""PyTorch checkpoint -> flax parameter-tree converter.
+
+Maps the reference state_dicts (Trambav6 BaseUMamba and the upstream VMamba
+classification checkpoints loaded by ``load_pretrained_Base``,
+vmamba.py:707-732) onto this framework's NHWC flax modules.
+
+Layout rules:
+* Linear / Linear2d weight (out, in)  -> Dense kernel (in, out)        [T]
+* Conv2d weight (out, in/g, kh, kw)   -> Conv kernel (kh, kw, in/g, out)
+* LayerNorm weight/bias               -> scale/bias
+* stacked SS2D params x_proj_weight (K, R+2N, D) and dt_projs_weight
+  (K, D, R) carry over unchanged; A_logs (K*D, N) / Ds (K*D) reshape to
+  (K, D, N) / (K, D).
+
+Works on numpy arrays so it does not require torch at import time.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Sequence
+
+import numpy as np
+
+__all__ = ["convert_tramba_v", "convert_vmamba_encoder_pretrained", "state_dict_to_numpy"]
+
+
+def state_dict_to_numpy(sd: Mapping) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+def _linear(sd, prefix, bias=True):
+    p = {"kernel": sd[f"{prefix}.weight"].T}
+    if bias and f"{prefix}.bias" in sd:
+        p["bias"] = sd[f"{prefix}.bias"]
+    return p
+
+
+def _conv(sd, prefix, bias=True):
+    w = sd[f"{prefix}.weight"]  # (out, in/g, kh, kw)
+    p = {"kernel": w.transpose(2, 3, 1, 0)}
+    if bias and f"{prefix}.bias" in sd:
+        p["bias"] = sd[f"{prefix}.bias"]
+    return p
+
+
+def _ln(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _ss2d(sd, prefix, k_group: int):
+    A_logs = sd[f"{prefix}.A_logs"]
+    Ds = sd[f"{prefix}.Ds"]
+    KD, N = A_logs.shape
+    D = KD // k_group
+    p = {
+        "in_proj": _linear(sd, f"{prefix}.in_proj"),
+        "x_proj_weight": sd[f"{prefix}.x_proj_weight"],
+        "dt_projs_weight": sd[f"{prefix}.dt_projs_weight"],
+        "dt_projs_bias": sd[f"{prefix}.dt_projs_bias"],
+        "A_logs": A_logs.reshape(k_group, D, N),
+        "Ds": Ds.reshape(k_group, D),
+        "out_norm": _ln(sd, f"{prefix}.out_norm"),
+        "out_proj": _linear(sd, f"{prefix}.out_proj"),
+    }
+    if f"{prefix}.conv2d.weight" in sd:
+        p["conv2d"] = _conv(sd, f"{prefix}.conv2d")
+    return p
+
+
+def _mlp(sd, prefix):
+    return {"fc1": _linear(sd, f"{prefix}.fc1"), "fc2": _linear(sd, f"{prefix}.fc2")}
+
+
+def _dwmsmlp(sd, prefix):
+    return {
+        "fc1": _linear(sd, f"{prefix}.fc1"),
+        "fc2": _linear(sd, f"{prefix}.fc2"),
+        "dwc3": {"Conv_0": _conv(sd, f"{prefix}.dwc3.dw_conv")},
+        "dwc5": {"Conv_0": _conv(sd, f"{prefix}.dwc5.dw_conv")},
+        "dwc7": {"Conv_0": _conv(sd, f"{prefix}.dwc7.dw_conv")},
+    }
+
+
+def _expand(sd, prefix):
+    return {"expand": _linear(sd, f"{prefix}.expand", bias=False), "norm": _ln(sd, f"{prefix}.norm")}
+
+
+def _vss_block(sd, prefix):
+    return {
+        "norm": _ln(sd, f"{prefix}.norm"),
+        "op": _ss2d(sd, f"{prefix}.op", k_group=4),
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+        "mlp": _mlp(sd, f"{prefix}.mlp"),
+    }
+
+
+def _ms_decoder_block(sd, prefix):
+    return {
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "op": _ss2d(sd, f"{prefix}.op", k_group=8),
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+        "mlp": _dwmsmlp(sd, f"{prefix}.mlp"),
+    }
+
+
+def _freq_block(sd, prefix):
+    return {
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "attn": {
+            "h_expand": _expand(sd, f"{prefix}.attn.h_expand"),
+            "l_expand": _expand(sd, f"{prefix}.attn.l_expand"),
+            "h_ssm": _ss2d(sd, f"{prefix}.attn.h_ssm", k_group=4),
+            "l_ssm": _ss2d(sd, f"{prefix}.attn.l_ssm", k_group=4),
+            "concat_back_dim": _linear(sd, f"{prefix}.attn.concat_back_dim", bias=False),
+        },
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+        "mlp": _mlp(sd, f"{prefix}.mlp"),
+    }
+
+
+def convert_vssm_encoder(sd: Mapping[str, np.ndarray], prefix: str, depths: Sequence[int]) -> dict:
+    enc = {
+        "patch_embed_conv1": _conv(sd, f"{prefix}patch_embed.0"),
+        "patch_embed_norm1": _ln(sd, f"{prefix}patch_embed.2"),
+        "patch_embed_conv2": _conv(sd, f"{prefix}patch_embed.5"),
+        "patch_embed_norm2": _ln(sd, f"{prefix}patch_embed.7"),
+    }
+    for s, depth in enumerate(depths):
+        for d in range(depth):
+            enc[f"layers_{s}_block_{d}"] = _vss_block(sd, f"{prefix}layers.{s}.blocks.{d}")
+        if s < len(depths) - 1:
+            enc[f"downsample_{s}_conv"] = _conv(sd, f"{prefix}downsample.{s}.1")
+            enc[f"downsample_{s}_norm"] = _ln(sd, f"{prefix}downsample.{s}.3")
+    return enc
+
+
+def convert_tramba_decoder(sd: Mapping[str, np.ndarray], prefix: str, n_stages: int,
+                           depths: Sequence[int]) -> dict:
+    dec = {}
+    for s in range(n_stages - 1):
+        dec[f"expand_{s}"] = _expand(sd, f"{prefix}expand_layers.{s}")
+        dec[f"guide_{s}"] = _freq_block(sd, f"{prefix}guide_layers.{s}")
+        dec[f"concat_back_dim_{s}"] = _linear(sd, f"{prefix}concat_back_dim.{s}")
+        for d in range(depths[s]):
+            dec[f"stage_{s}_block_{d}"] = _ms_decoder_block(sd, f"{prefix}stage_layers.{s}.blocks.{d}")
+        dec[f"seg_{s}"] = _conv(sd, f"{prefix}seg_layers.{s}")
+    s = n_stages - 1
+    dec[f"expand_{s}"] = _expand(sd, f"{prefix}expand_layers.{s}")
+    dec[f"seg_{s}"] = _conv(sd, f"{prefix}seg_layers.{s}")
+    return dec
+
+
+def convert_tramba_v(state_dict: Mapping, enc_depths: Sequence[int] = (2, 2, 15, 2),
+                     dec_depths: Sequence[int] = (2, 2, 2, 2)) -> dict:
+    """Full Tramba-V (Trambav6 BaseUMamba) state_dict -> flax params."""
+    sd = state_dict_to_numpy(state_dict)
+    n_stages = len(enc_depths)
+    return {
+        "params": {
+            "vssm_encoder": convert_vssm_encoder(sd, "vssm_encoder.", enc_depths),
+            "decoder": convert_tramba_decoder(sd, "decoder.", n_stages, dec_depths),
+        }
+    }
+
+
+def convert_vmamba_encoder_pretrained(ckpt_model: Mapping, depths: Sequence[int] = (2, 2, 15, 2)) -> dict:
+    """Upstream VMamba classification ckpt['model'] -> encoder flax params.
+
+    Replicates load_pretrained_Base's key surgery (vmamba.py:707-732): drop
+    classifier.*, remap layers.{i}.downsample.* -> downsample.{i}.*.
+    """
+    import re
+
+    sd = {}
+    for k, v in state_dict_to_numpy(ckpt_model).items():
+        if "classifier" in k:
+            continue
+        m = re.match(r"layers\.(\d+)\.downsample\.(.*)", k)
+        if m:
+            k = f"downsample.{m.group(1)}.{m.group(2)}"
+        sd[k] = v
+    return convert_vssm_encoder(sd, "", depths)

@@ -17,7 +17,7 @@ import numpy as np
 from flax import linen as nn
 
 from tramba_tpu.nn.blocks import VSSBlock
-from tramba_tpu.nn.layers import conv_kaiming_init
+from tramba_tpu.nn.layers import LayerNorm, conv_kaiming_init
 
 __all__ = ["VSSMEncoder"]
 
@@ -38,11 +38,11 @@ class VSSMEncoder(nn.Module):
         # stem: conv s2 -> LN -> GELU -> conv s2 -> LN (vmamba.py:473-489)
         h = nn.Conv(dims[0] // 2, (3, 3), strides=2, padding=1, kernel_init=conv_kaiming_init,
                     dtype=self.dtype, name="patch_embed_conv1")(x)
-        h = nn.LayerNorm(dtype=self.dtype, name="patch_embed_norm1")(h)
+        h = LayerNorm(dtype=self.dtype, name="patch_embed_norm1")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Conv(dims[0], (3, 3), strides=2, padding=1, kernel_init=conv_kaiming_init,
                     dtype=self.dtype, name="patch_embed_conv2")(h)
-        h = nn.LayerNorm(dtype=self.dtype, name="patch_embed_norm2")(h)
+        h = LayerNorm(dtype=self.dtype, name="patch_embed_norm2")(h)
 
         for s, depth in enumerate(self.depths):
             for d in range(depth):
@@ -58,5 +58,5 @@ class VSSMEncoder(nn.Module):
                 # downsample v3: conv k3 s2 + LN (vmamba.py:449-457)
                 h = nn.Conv(dims[s] * 2, (3, 3), strides=2, padding=1, kernel_init=conv_kaiming_init,
                             dtype=self.dtype, name=f"downsample_{s}_conv")(h)
-                h = nn.LayerNorm(dtype=self.dtype, name=f"downsample_{s}_norm")(h)
+                h = LayerNorm(dtype=self.dtype, name=f"downsample_{s}_norm")(h)
         return skips

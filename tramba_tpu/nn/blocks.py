@@ -13,7 +13,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tramba_tpu.nn.layers import DWMSMlp, DropPath, Mlp
+from tramba_tpu.nn.layers import DWMSMlp, DropPath, LayerNorm, Mlp
 from tramba_tpu.nn.ssm import SS2D
 
 __all__ = ["VSSBlock", "MultiScaleDecoderBlock", "VSSMDecoderBlock"]
@@ -38,7 +38,7 @@ class VSSBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         if self.ssm_ratio > 0:
-            y = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+            y = LayerNorm(dtype=self.dtype, name="norm")(x)
             y = SS2D(
                 d_model=self.hidden_dim,
                 d_state=self.ssm_d_state,
@@ -52,7 +52,7 @@ class VSSBlock(nn.Module):
             )(y)
             x = x + DropPath(self.drop_path)(y, deterministic)
         if self.mlp_ratio > 0:
-            y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+            y = LayerNorm(dtype=self.dtype, name="norm2")(x)
             y = Mlp(int(self.hidden_dim * self.mlp_ratio), act=_gelu, dtype=self.dtype, name="mlp")(y)
             x = x + DropPath(self.drop_path)(y, deterministic)
         return x
@@ -74,7 +74,7 @@ class MultiScaleDecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = LayerNorm(dtype=self.dtype, name="norm1")(x)
         y = SS2D(
             d_model=self.hidden_dim,
             d_state=self.ssm_d_state,
@@ -87,7 +87,7 @@ class MultiScaleDecoderBlock(nn.Module):
             name="op",
         )(y)
         x = x + DropPath(self.drop_path)(y, deterministic)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = DWMSMlp(int(self.hidden_dim * self.mlp_ratio), act=_gelu, dtype=self.dtype, name="mlp")(y)
         x = x + DropPath(self.drop_path)(y, deterministic)
         return x
@@ -109,7 +109,7 @@ class VSSMDecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = LayerNorm(dtype=self.dtype, name="norm1")(x)
         y = SS2D(
             d_model=self.hidden_dim,
             d_state=self.ssm_d_state,
@@ -122,7 +122,7 @@ class VSSMDecoderBlock(nn.Module):
             name="op",
         )(y)
         x = x + DropPath(self.drop_path)(y, deterministic)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(self.hidden_dim * self.mlp_ratio), act=_gelu, dtype=self.dtype, name="mlp")(y)
         x = x + DropPath(self.drop_path)(y, deterministic)
         return x

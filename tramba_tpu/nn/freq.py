@@ -15,7 +15,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tramba_tpu.nn.layers import DropPath, FreqExpand2D, Mlp, trunc_normal_init
+from tramba_tpu.nn.layers import DropPath, FreqExpand2D, LayerNorm, Mlp, trunc_normal_init
 from tramba_tpu.nn.ssm import SS2D
 from tramba_tpu.ops.dct import dct2d, split_high_low
 
@@ -86,7 +86,7 @@ class FreqBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = LayerNorm(dtype=self.dtype, name="norm1")(x)
         y = FreqSS2D(
             dim=self.dim,
             window=self.window,
@@ -96,7 +96,7 @@ class FreqBlock(nn.Module):
             name="attn",
         )(y)
         x = x + DropPath(self.drop_path)(y, deterministic)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(self.dim * self.mlp_ratio), act=_gelu, dtype=self.dtype, name="mlp")(y)
         x = x + DropPath(self.drop_path)(y, deterministic)
         return x

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 __all__ = [
+    "LayerNorm",
     "trunc_normal_init",
     "conv_kaiming_init",
     "DropPath",
@@ -27,6 +28,10 @@ __all__ = [
     "FreqExpand2D",
     "pixel_shuffle",
 ]
+
+# LayerNorm with torch-matching epsilon (torch default 1e-5; flax default 1e-6)
+import functools
+LayerNorm = functools.partial(nn.LayerNorm, epsilon=1e-5)
 
 # torch trunc_normal_(std=.02) equivalent (VSSMEncoder._init_weights, vmamba.py:459-471)
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
@@ -140,7 +145,7 @@ class PatchExpand(nn.Module):
         dim = x.shape[-1]
         x = nn.Dense(2 * dim, use_bias=False, kernel_init=trunc_normal_init, dtype=self.dtype, name="expand")(x)
         x = pixel_shuffle(x, 2)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
         return x
 
 
@@ -154,7 +159,7 @@ class FinalPatchExpandX4(nn.Module):
         dim = x.shape[-1]
         x = nn.Dense(16 * dim, use_bias=False, kernel_init=trunc_normal_init, dtype=self.dtype, name="expand")(x)
         x = pixel_shuffle(x, 4)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
         return x
 
 
@@ -168,5 +173,5 @@ class FreqExpand2D(nn.Module):
         dim = x.shape[-1]
         x = nn.Dense(4 * dim, use_bias=False, kernel_init=trunc_normal_init, dtype=self.dtype, name="expand")(x)
         x = pixel_shuffle(x, 2)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
         return x

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from tramba_tpu.nn.layers import conv_kaiming_init, trunc_normal_init
+from tramba_tpu.nn.layers import LayerNorm, conv_kaiming_init, trunc_normal_init
 from tramba_tpu.ops.scan_orders import cross_merge, cross_scan
 from tramba_tpu.ops.selective_scan import selective_scan
 
@@ -110,7 +110,7 @@ class SS2D(nn.Module):
         ys = selective_scan(xs, dts, A, Bc, Cc, Ds, dt_b, backend=self.backend)
         y = cross_merge(ys, self.scan_kind, H, W, self.scan_param)
 
-        y = nn.LayerNorm(dtype=self.dtype, name="out_norm")(y)
+        y = LayerNorm(dtype=self.dtype, name="out_norm")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(
             self.d_model, use_bias=self.bias, kernel_init=trunc_normal_init, dtype=self.dtype, name="out_proj"
