@@ -80,7 +80,7 @@ class TorchSelectiveScan:
 
 def load_reference():
     """Import reference model builders with all shims active; returns module dict."""
-    _install_timm_shim()
+    _install_extra_shims()
     if not torch.cuda.is_available():
         torch.Tensor.cuda = lambda self, *a, **k: self  # type: ignore[assignment]
         torch.nn.Module.cuda = lambda self, *a, **k: self  # type: ignore[assignment]
@@ -95,3 +95,39 @@ def load_reference():
     import Trambav6
 
     return {"vmamba": vmamba, "Trambav6": Trambav6, "csms6s": csms6s}
+
+
+def _install_extra_shims():
+    """Extra stand-ins needed by the alternative encoders."""
+    _install_timm_shim()
+    import types
+
+    if "timm.models.registry" not in sys.modules:
+        reg = types.ModuleType("timm.models.registry")
+        reg.register_model = lambda cls=None, **kw: cls if cls is not None else (lambda c: c)
+        sys.modules["timm.models"].registry = reg
+        sys.modules["timm.models.registry"] = reg
+    if "timm.models.vision_transformer" not in sys.modules:
+        vit = types.ModuleType("timm.models.vision_transformer")
+        vit._cfg = lambda url="", **kw: {"url": url, **kw}
+        sys.modules["timm.models"].vision_transformer = vit
+        sys.modules["timm.models.vision_transformer"] = vit
+    if "dataset" not in sys.modules:  # resnet_encoder.py:8 imports a module absent upstream
+        sys.modules["dataset"] = types.ModuleType("dataset")
+
+
+def load_reference_encoders():
+    """Import the three alternative reference encoders, CPU-safe."""
+    _install_extra_shims()
+    if not torch.cuda.is_available():
+        torch.Tensor.cuda = lambda self, *a, **k: self  # type: ignore[assignment]
+        torch.nn.Module.cuda = lambda self, *a, **k: self  # type: ignore[assignment]
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import Models.encoder.resnet_encoder as resnet_mod
+
+    resnet_mod.ResNet.initialize = lambda self: None  # upstream loads a hardcoded ckpt path
+    import Models.encoder.pvtv2_encoder as pvt_mod
+    import Models.encoder.swin_encoder as swin_mod
+
+    return {"resnet": resnet_mod, "pvt": pvt_mod, "swin": swin_mod}

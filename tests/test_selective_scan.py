@@ -37,7 +37,7 @@ def _rand_inputs(B=2, K=2, L=24, D=8, N=1, seed=0):
     return u, dt, A, Bc, Cc, Dp, bias
 
 
-@pytest.mark.parametrize("backend", ["assoc", None])
+@pytest.mark.parametrize("backend", ["assoc", "pallas"])
 @pytest.mark.parametrize("N", [1, 2])
 def test_matches_sequential_oracle(backend, N):
     args = _rand_inputs(N=N)
@@ -49,7 +49,7 @@ def test_matches_sequential_oracle(backend, N):
 def test_pallas_matches_assoc_long_sequence():
     # L spans two kernel chunks with a ragged tail; C spans two lane blocks (ragged)
     args = _rand_inputs(B=1, K=1, L=300, D=160, seed=3)
-    y_p = ss.selective_scan(*[jnp.asarray(x) for x in args], backend=None)
+    y_p = ss.selective_scan(*[jnp.asarray(x) for x in args], backend='pallas')
     y_a = ss.selective_scan(*[jnp.asarray(x) for x in args], backend="assoc")
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_a), rtol=1e-5, atol=1e-5)
 
@@ -60,11 +60,11 @@ def test_linear_scan_simple():
     h = ss.linear_scan(a, b, "assoc")
     want = np.array([1.0, 1.5, 1.75, 1.875, 1.9375])
     np.testing.assert_allclose(np.asarray(h)[0, :, 0], want, rtol=1e-6)
-    h2 = ss.linear_scan(a, b, None)
+    h2 = ss.linear_scan(a, b, 'pallas')
     np.testing.assert_allclose(np.asarray(h2), np.asarray(h), rtol=1e-6)
 
 
-@pytest.mark.parametrize("backend", ["assoc", None])
+@pytest.mark.parametrize("backend", ["assoc", "pallas"])
 def test_vjp_matches_undecorated_autodiff(backend):
     """custom_vjp (reversed-scan adjoint) == autodiff through associative_scan."""
     args = [jnp.asarray(x) for x in _rand_inputs(B=1, K=1, L=16, D=4, seed=5)]

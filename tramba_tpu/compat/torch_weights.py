@@ -185,3 +185,153 @@ def convert_vmamba_encoder_pretrained(ckpt_model: Mapping, depths: Sequence[int]
             k = f"downsample.{m.group(1)}.{m.group(2)}"
         sd[k] = v
     return convert_vssm_encoder(sd, "", depths)
+
+
+# ---------------------------------------------------------------------------
+# Encoder-variant converters (Trambav6_enc.py assemblies + BaseUMamba)
+# ---------------------------------------------------------------------------
+
+
+def _plain_decoder_block(sd, prefix):
+    return {
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "op": _ss2d(sd, f"{prefix}.op", k_group=8),
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+        "mlp": _mlp(sd, f"{prefix}.mlp"),
+    }
+
+
+def convert_base_umamba(state_dict: Mapping, enc_depths: Sequence[int] = (2, 2, 15, 2),
+                        dec_depths: Sequence[int] = (2, 2, 2, 2)) -> dict:
+    """BaseUMamba (ablation) state_dict -> flax params (BaseUMamba.py:126-181)."""
+    sd = state_dict_to_numpy(state_dict)
+    n_stages = len(enc_depths)
+    dec = {}
+    for s in range(n_stages - 1):
+        dec[f"expand_{s}"] = _expand(sd, f"decoder.expand_layers.{s}")
+        dec[f"concat_back_dim_{s}"] = _linear(sd, f"decoder.concat_back_dim.{s}")
+        for d in range(dec_depths[s]):
+            dec[f"stage_{s}_block_{d}"] = _plain_decoder_block(sd, f"decoder.stage_layers.{s}.blocks.{d}")
+        dec[f"seg_{s}"] = _conv(sd, f"decoder.seg_layers.{s}")
+    s = n_stages - 1
+    dec[f"expand_{s}"] = _expand(sd, f"decoder.expand_layers.{s}")
+    dec[f"seg_{s}"] = _conv(sd, f"decoder.seg_layers.{s}")
+    return {"params": {
+        "vssm_encoder": convert_vssm_encoder(sd, "vssm_encoder.", enc_depths),
+        "decoder": dec,
+    }}
+
+
+def _bn(sd, prefix):
+    return (
+        {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]},
+        {"mean": sd[f"{prefix}.running_mean"], "var": sd[f"{prefix}.running_var"]},
+    )
+
+
+def convert_resnet_encoder(sd: Mapping[str, np.ndarray], prefix: str = "",
+                           layers: Sequence[int] = (3, 4, 6, 3)):
+    """torchvision-style ResNet-50 keys -> (params, batch_stats)."""
+    params, stats = {}, {}
+    params["conv1"] = _conv(sd, f"{prefix}conv1", bias=False)
+    params["bn1"], stats["bn1"] = _bn(sd, f"{prefix}bn1")
+    for i, blocks in enumerate(layers):
+        for b in range(blocks):
+            p, s = {}, {}
+            tp = f"{prefix}layer{i + 1}.{b}"
+            for c in ("conv1", "conv2", "conv3"):
+                p[c] = _conv(sd, f"{tp}.{c}", bias=False)
+            for bn in ("bn1", "bn2", "bn3"):
+                p[bn], s[bn] = _bn(sd, f"{tp}.{bn}")
+            if f"{tp}.downsample.0.weight" in sd:
+                p["downsample_conv"] = _conv(sd, f"{tp}.downsample.0", bias=False)
+                p["downsample_bn"], s["downsample_bn"] = _bn(sd, f"{tp}.downsample.1")
+            params[f"layer{i + 1}_{b}"] = p
+            stats[f"layer{i + 1}_{b}"] = s
+    return params, stats
+
+
+def convert_pvt_encoder(sd: Mapping[str, np.ndarray], prefix: str = "",
+                        depths: Sequence[int] = (3, 8, 27, 3)) -> dict:
+    params = {}
+    for i in range(len(depths)):
+        params[f"patch_embed{i + 1}"] = _conv(sd, f"{prefix}patch_embed{i + 1}.proj")
+        params[f"patch_norm{i + 1}"] = _ln(sd, f"{prefix}patch_embed{i + 1}.norm")
+        for d in range(depths[i]):
+            bp = f"{prefix}block{i + 1}.{d}"
+            attn = {
+                "q": _linear(sd, f"{bp}.attn.q"),
+                "kv": _linear(sd, f"{bp}.attn.kv"),
+                "proj": _linear(sd, f"{bp}.attn.proj"),
+            }
+            if f"{bp}.attn.sr.weight" in sd:
+                attn["sr"] = _conv(sd, f"{bp}.attn.sr")
+                attn["norm"] = _ln(sd, f"{bp}.attn.norm")
+            params[f"block{i + 1}_{d}"] = {
+                "norm1": _ln(sd, f"{bp}.norm1"),
+                "attn": attn,
+                "norm2": _ln(sd, f"{bp}.norm2"),
+                "mlp": {
+                    "fc1": _linear(sd, f"{bp}.mlp.fc1"),
+                    "dwconv": _conv(sd, f"{bp}.mlp.dwconv.dwconv"),
+                    "fc2": _linear(sd, f"{bp}.mlp.fc2"),
+                },
+            }
+        params[f"norm{i + 1}"] = _ln(sd, f"{prefix}norm{i + 1}")
+    return params
+
+
+def convert_swin_encoder(sd: Mapping[str, np.ndarray], prefix: str = "",
+                         depths: Sequence[int] = (2, 2, 18, 2), include_last_stage: bool = False) -> dict:
+    """Swin keys -> flax params.  The stage-4 blocks are dead compute in the
+    Tramba assembly (Trambav6_enc.py:212) and skipped unless requested."""
+    params = {
+        "patch_embed_proj": _conv(sd, f"{prefix}patch_embed.proj"),
+        "patch_embed_norm": _ln(sd, f"{prefix}patch_embed.norm"),
+    }
+    n_run = len(depths) if include_last_stage else len(depths) - 1
+    for i in range(len(depths)):
+        if i < n_run:
+            for d in range(depths[i]):
+                bp = f"{prefix}layers.{i}.blocks.{d}"
+                params[f"layer{i}_block{d}"] = {
+                    "norm1": _ln(sd, f"{bp}.norm1"),
+                    "attn": {
+                        "qkv": _linear(sd, f"{bp}.attn.qkv"),
+                        "proj": _linear(sd, f"{bp}.attn.proj"),
+                        "relative_position_bias_table": sd[f"{bp}.attn.relative_position_bias_table"],
+                    },
+                    "norm2": _ln(sd, f"{bp}.norm2"),
+                    "mlp_fc1": _linear(sd, f"{bp}.mlp.fc1"),
+                    "mlp_fc2": _linear(sd, f"{bp}.mlp.fc2"),
+                }
+        if i < len(depths) - 1:
+            params[f"layer{i}_downsample"] = {
+                "norm": _ln(sd, f"{prefix}layers.{i}.downsample.norm"),
+                "reduction": _linear(sd, f"{prefix}layers.{i}.downsample.reduction", bias=False),
+            }
+    return params
+
+
+_ENC_CONFIG = {
+    "swin": dict(n_stages=4, depths=(2, 2, 2, 2)),
+    "pvt": dict(n_stages=4, depths=(2, 2, 2, 2)),
+    "resnet": dict(n_stages=3, depths=(2, 2, 2)),
+}
+
+
+def convert_tramba_enc(state_dict: Mapping, enc_type: str) -> dict:
+    """Full Tramba-S/P/R state_dict -> flax variables (params [+ batch_stats])."""
+    sd = state_dict_to_numpy(state_dict)
+    cfg = _ENC_CONFIG[enc_type]
+    dec = convert_tramba_decoder(sd, "decoder.", cfg["n_stages"], cfg["depths"])
+    if enc_type == "swin":
+        enc = convert_swin_encoder(sd, "encoder.")
+        return {"params": {"encoder": enc, "decoder": dec}}
+    if enc_type == "pvt":
+        enc = convert_pvt_encoder(sd, "encoder.")
+        return {"params": {"encoder": enc, "decoder": dec}}
+    if enc_type == "resnet":
+        enc, stats = convert_resnet_encoder(sd, "encoder.")
+        return {"params": {"encoder": enc, "decoder": dec}, "batch_stats": {"encoder": stats}}
+    raise ValueError(enc_type)

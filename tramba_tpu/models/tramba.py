@@ -16,12 +16,12 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from tramba_tpu.nn.blocks import MultiScaleDecoderBlock
+from tramba_tpu.nn.blocks import MultiScaleDecoderBlock, VSSMDecoderBlock
 from tramba_tpu.nn.freq import FreqBlock
 from tramba_tpu.nn.layers import FinalPatchExpandX4, PatchExpand, conv_kaiming_init, trunc_normal_init
 from tramba_tpu.models.vssm_encoder import VSSMEncoder
 
-__all__ = ["TrambaDecoder", "TrambaV", "window_for_resolution"]
+__all__ = ["TrambaDecoder", "TrambaV", "TrambaEnc", "BaseUMamba", "window_for_resolution"]
 
 # high-frequency window size per resolution (csms6s.py:107-111)
 _WINDOW_BY_RES = {12: 4, 24: 8, 48: 12, 96: 16}
@@ -48,6 +48,8 @@ class TrambaDecoder(nn.Module):
     drop_path_rate: float = 0.2
     img_size: int = 384
     deep_supervision: bool = True
+    use_guides: bool = True  # False => BaseUMamba ablation (no DFVSS, plain skips)
+    block_type: str = "ms"  # 'ms' (MultiScaleDecoderBlock) | 'plain' (VSSMDecoderBlock)
     ssm_backend: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -66,20 +68,24 @@ class TrambaDecoder(nn.Module):
                 skip_ch = chans[-(s + 2)]
                 res = base_res * 2**s
                 x = PatchExpand(dtype=self.dtype, name=f"expand_{s}")(x)
-                mid = FreqBlock(
-                    dim=skip_ch,
-                    window=window_for_resolution(res),
-                    dilation=4,
-                    drop_path=0.0,
-                    ssm_backend=self.ssm_backend,
-                    dtype=self.dtype,
-                    name=f"guide_{s}",
-                )(skips[-(s + 2)], deterministic)
+                if self.use_guides:
+                    mid = FreqBlock(
+                        dim=skip_ch,
+                        window=window_for_resolution(res),
+                        dilation=4,
+                        drop_path=0.0,
+                        ssm_backend=self.ssm_backend,
+                        dtype=self.dtype,
+                        name=f"guide_{s}",
+                    )(skips[-(s + 2)], deterministic)
+                else:
+                    mid = skips[-(s + 2)]
                 x = jnp.concatenate([x, mid], axis=-1)
                 x = nn.Dense(skip_ch, kernel_init=trunc_normal_init, dtype=self.dtype,
                              name=f"concat_back_dim_{s}")(x)
+                block_cls = MultiScaleDecoderBlock if self.block_type == "ms" else VSSMDecoderBlock
                 for d in range(depths[s]):
-                    x = MultiScaleDecoderBlock(
+                    x = block_cls(
                         hidden_dim=skip_ch,
                         drop_path=float(dpr[sum(depths[:s]) + d]) if sum(depths[:s]) + d < len(dpr) else 0.0,
                         ssm_backend=self.ssm_backend,
@@ -124,6 +130,95 @@ class TrambaV(nn.Module):
             drop_path_rate=self.dec_drop_path,
             img_size=self.img_size,
             deep_supervision=self.deep_supervision,
+            ssm_backend=self.ssm_backend,
+            dtype=self.dtype,
+            name="decoder",
+        )(skips, deterministic)
+
+
+class TrambaEnc(nn.Module):
+    """Tramba-S / -P / -R: Swin / PVTv2 / ResNet encoder + DFVSS decoder.
+
+    Re-design of ``Trambav6_enc.py:162-230``: skip assembly per encoder —
+    Swin uses stage *inputs* (final stage-4 output discarded, :212), ResNet
+    drops the deepest (2048) and shallowest (64) maps (:214), PVT uses all
+    four stages (:216).
+    """
+
+    enc_type: str  # 'swin' | 'pvt' | 'resnet'
+    img_size: int = 384
+    deep_supervision: bool = True
+    dec_drop_path: float = 0.2
+    ssm_backend: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        from tramba_tpu.models.pvt import PVTv2Encoder, pvt_v2_b4_config
+        from tramba_tpu.models.resnet import ResNetEncoder
+        from tramba_tpu.models.swin import SwinEncoder, swin_b_384_config
+
+        if self.enc_type == "swin":
+            stage_inputs = SwinEncoder(img_size=self.img_size, dtype=self.dtype,
+                                       **swin_b_384_config(), name="encoder")(x, deterministic)
+            skips = [x] + stage_inputs  # shallow -> deep (stage-4 block output unused)
+            features = [128, 256, 512, 1024]
+            depths = (2, 2, 2, 2)
+        elif self.enc_type == "pvt":
+            outs = PVTv2Encoder(dtype=self.dtype, **pvt_v2_b4_config(), name="encoder")(x, deterministic)
+            skips = [x] + outs[::-1]
+            features = [64, 128, 320, 512]
+            depths = (2, 2, 2, 2)
+        elif self.enc_type == "resnet":
+            outs = ResNetEncoder(dtype=self.dtype, name="encoder")(x, deterministic)
+            skips = [x] + outs[1:-1][::-1]
+            features = [256, 512, 1024]
+            depths = (2, 2, 2)
+        else:
+            raise ValueError(f"unsupported encoder type: {self.enc_type}")
+
+        return TrambaDecoder(
+            features_per_stage=features,
+            depths=depths,
+            drop_path_rate=self.dec_drop_path,
+            img_size=self.img_size,
+            deep_supervision=self.deep_supervision,
+            ssm_backend=self.ssm_backend,
+            dtype=self.dtype,
+            name="decoder",
+        )(skips, deterministic)
+
+
+class BaseUMamba(nn.Module):
+    """Ablation baseline: VSSM encoder + plain decoder, no DFVSS guides
+    (BaseUMamba.py:14-181)."""
+
+    img_size: int = 384
+    dims: int = 128
+    enc_depths: Sequence[int] = (2, 2, 15, 2)
+    dec_depths: Sequence[int] = (2, 2, 2, 2)
+    deep_supervision: bool = True
+    ssm_backend: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        skips = VSSMEncoder(
+            depths=tuple(self.enc_depths),
+            dims=self.dims,
+            drop_path_rate=0.6,
+            ssm_backend=self.ssm_backend,
+            dtype=self.dtype,
+            name="vssm_encoder",
+        )(x, deterministic)
+        return TrambaDecoder(
+            features_per_stage=[self.dims * 2**i for i in range(len(self.enc_depths))],
+            depths=tuple(self.dec_depths),
+            drop_path_rate=0.2,
+            img_size=self.img_size,
+            deep_supervision=self.deep_supervision,
+            use_guides=False,
+            block_type="plain",
             ssm_backend=self.ssm_backend,
             dtype=self.dtype,
             name="decoder",

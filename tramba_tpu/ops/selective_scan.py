@@ -104,6 +104,10 @@ def _on_tpu() -> bool:
 
 
 def _linear_scan_impl(a, b, backend: Optional[str]):
+    if backend is None:
+        # auto: the Pallas kernel on TPU, XLA associative scan elsewhere
+        # (interpret-mode Pallas is orders of magnitude too slow for real use)
+        backend = "pallas" if _on_tpu() else "assoc"
     if backend == "assoc":
         return _linear_scan_assoc(a, b)
     shape = a.shape
@@ -117,8 +121,9 @@ def _linear_scan_impl(a, b, backend: Optional[str]):
 def linear_scan(a: jnp.ndarray, b: jnp.ndarray, backend: Optional[str] = None) -> jnp.ndarray:
     """h with h_t = a_t * h_{t-1} + b_t over axis -2, h_{-1} = 0.
 
-    ``backend``: None/'pallas' (TPU kernel; interpreter off-TPU) or 'assoc'
-    (pure-XLA associative scan).  fp32 internally regardless of input dtype.
+    ``backend``: None (auto: Pallas kernel on TPU, associative scan off-TPU),
+    'pallas' (force the kernel; interpreter off-TPU), or 'assoc' (pure-XLA
+    associative scan).  fp32 internally regardless of input dtype.
     """
     return _linear_scan_impl(a, b, backend)
 
