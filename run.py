@@ -1,0 +1,47 @@
+"""Training CLI — same flags and method strings as the reference run.py."""
+
+import argparse
+
+from tramba_tpu.train.loop import training
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    # kept for CLI compatibility; distribution is handled by the jax mesh
+    parser.add_argument("--init_method", default="tcp://127.0.0.1:33115", type=str)
+    parser.add_argument("--parallel", action="store_true",
+                        help="compat flag; data parallelism engages automatically over all chips")
+
+    parser.add_argument("--data_root", default="./TSOD10K/", type=str, help="data path")
+    parser.add_argument("--train_dataset", default="", type=str)
+    parser.add_argument("--evaluation_root", default="./TSOD10K/", type=str)
+    parser.add_argument("--evaluation_dataset", default="", type=str)
+
+    parser.add_argument("--img_size", default=384, type=int)
+    parser.add_argument("--pretrained_model", default="./pretrained_model/", type=str)
+    parser.add_argument("--batch_size", default=4, type=int)
+    parser.add_argument("--save_model", default="./results", type=str)
+    parser.add_argument("--tf_log_path", default="./tf-logs", type=str)
+    parser.add_argument("--pretrained_path", default="./pretrained_model/vssm_base_0229_ckpt_epoch_237.pth",
+                        type=str)
+    parser.add_argument("--resume", default=None, type=str)
+
+    parser.add_argument("--see", default=40, type=int)
+    parser.add_argument("--train_epochs", default=80, type=int)
+    parser.add_argument("--decay_epochs", default="60", type=str)
+    parser.add_argument("--decay_factors", default="0.2", type=str)
+    parser.add_argument("--lr", default=1e-4, type=float)
+    parser.add_argument("--method", default=None, type=str)
+    parser.add_argument("--best_MAE", default=None, type=float)
+    parser.add_argument("--dtype", default="float32", type=str,
+                        help="compute dtype: float32 | bfloat16")
+
+    args = parser.parse_args()
+    assert args.method is not None
+
+    print("\nArguments:")
+    print("=" * 40)
+    for arg in vars(args):
+        print(f"{arg: <20}: {getattr(args, arg)}")
+    print("=" * 40)
+
+    training(args=args)

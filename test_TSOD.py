@@ -1,0 +1,36 @@
+"""TSOD saliency-map dump CLI — test_TSOD.py semantics.
+
+Loads checkpoints (native Orbax dirs or reference torch .pth files), runs the
+model over the TSOD10K Test split, and writes per-image uint8 saliency PNGs
+at each image's original resolution.
+"""
+
+import argparse
+import os
+
+import jax
+
+from tramba_tpu.eval.dump import dump_saliency_maps
+from tramba_tpu.models.registry import build
+from tramba_tpu.train.checkpoint import load_params_any
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--img_size", default=384, type=int)
+    parser.add_argument("--method", default="Tramba-V-TSOD", type=str)
+    parser.add_argument("--pretrained_path", default="", type=str)
+    parser.add_argument("--data_root", default="./TSOD10K/", type=str)
+    parser.add_argument("--ckpt", nargs="+", required=True,
+                        help="checkpoint path(s): Orbax dir or torch .pth")
+    parser.add_argument("--save_root", default="./results", type=str)
+    parser.add_argument("--batch_size", default=8, type=int)
+    args = parser.parse_args()
+
+    for path in args.ckpt:
+        print(path)
+        model = build(args.method, args)
+        variables = load_params_any(path, args.method)
+        save_path = os.path.join(args.save_root, args.method, "TSOD")
+        n = dump_saliency_maps(model, variables, args.data_root, save_path,
+                               img_size=args.img_size, batch_size=args.batch_size)
+        print(f"wrote {n} maps to {save_path}")

@@ -1,0 +1,193 @@
+"""Training orchestration: the TPU-native equivalent of ``train.py``.
+
+``training(args)`` mirrors the reference flow (train.py:283-297): seeding,
+model build, data loading, then ``fit`` — per-epoch LR step (inside the
+optax schedule), jitted SPMD train steps over the device mesh, in-loop eval
+from epoch ``see`` with the full SOD metric suite, text + TensorBoard
+records, best-MAE checkpoints and a rolling resume checkpoint every 5 epochs.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tramba_tpu.data.pipeline import BatchLoader, SODDataset
+from tramba_tpu.eval.metrics import SODMetrics
+from tramba_tpu.models.registry import build
+from tramba_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+from tramba_tpu.train import checkpoint as ckpt
+from tramba_tpu.train.optim import make_optimizer
+from tramba_tpu.train.step import create_train_state, make_eval_step, make_train_step
+
+__all__ = ["training", "fit", "evaluate_in_loop", "init_model"]
+
+
+def _pad_batch(arr: np.ndarray, batch: int) -> np.ndarray:
+    if arr.shape[0] == batch:
+        return arr
+    pad = batch - arr.shape[0]
+    return np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
+
+
+def init_model(args, model):
+    """Initialize variables; optionally graft a pretrained encoder."""
+    x = jnp.zeros((1, args.img_size, args.img_size, 3), jnp.float32)
+    variables = jax.jit(lambda k: model.init(k, x))(jax.random.key(0))
+    pre = getattr(args, "pretrained_path", None)
+    if pre and os.path.exists(pre) and args.method.split("-")[0] in ("Tramba", "BaseUMamba"):
+        try:
+            from flax.core import unfreeze
+
+            from tramba_tpu.compat import torch_weights as tw
+
+            sd = ckpt.load_torch_file(pre)
+            variables = unfreeze(variables)
+            if args.method.startswith(("Tramba-V", "BaseUMamba")) and isinstance(sd, dict) and "model" in sd:
+                enc = tw.convert_vmamba_encoder_pretrained(sd["model"])
+                variables["params"]["vssm_encoder"].update(enc)
+                print(f"Loaded VMamba pretrained encoder from {pre}")
+        except Exception as e:  # pretraining is optional; random init still trains
+            print(f"WARNING: could not load pretrained encoder ({e}); using random init")
+    return variables
+
+
+def evaluate_in_loop(state, eval_step, data_root: str, img_size: int, batch_size: int = 8,
+                     sets=("Test",)) -> dict:
+    """In-loop eval at network resolution (train.py:102-151 semantics)."""
+    ds = SODDataset(data_root, list(sets), img_size, mode="test")
+    loader = BatchLoader(ds, batch_size=batch_size, shuffle=False)
+    metrics = SODMetrics()
+    for batch in loader:
+        n = batch["image"].shape[0]
+        images = jnp.asarray(_pad_batch(batch["image"], batch_size))
+        preds = np.asarray(eval_step(state, images))
+        for i in range(n):
+            metrics.step(preds[i, :, :, 0], batch["gt"][i, :, :, 0])
+    return metrics.results()
+
+
+def fit(args, model, variables, train_loader, tb_writer=None):
+    n_dev = len(jax.devices())
+    use_mesh = args.batch_size % n_dev == 0 and n_dev > 1
+    mesh = make_mesh(("data",)) if use_mesh else None
+
+    steps_per_epoch = max(1, len(train_loader))
+    decay_epochs = list(map(int, str(args.decay_epochs).split("-")))
+    decay_factors = list(map(float, str(args.decay_factors).split("-")))
+    tx = make_optimizer(args.lr, decay_epochs, decay_factors, steps_per_epoch)
+    state = create_train_state(model, variables, tx)
+
+    save_dir = os.path.join(args.save_model, args.method)
+    os.makedirs(save_dir, exist_ok=True)
+    start_epoch = 0
+    if getattr(args, "resume", None):
+        if args.resume == "last":
+            state, start_epoch = ckpt.load_resume(os.path.join(save_dir, f"{args.method}_resume"), state)
+        else:
+            params = ckpt.load_params_any(args.resume, args.method, {"params": state.params})
+            state = state.replace(params=params["params"] if "params" in params else params)
+            start_epoch = ckpt.epoch_from_filename(args.resume)
+        print(f"Resumed; starting from epoch {start_epoch + 1}")
+
+    if mesh is not None:
+        state = replicate_tree(state, mesh)
+
+    train_step = make_train_step()
+    eval_step = make_eval_step()
+    rng = jax.random.key(1026)
+    if mesh is not None:
+        rng = jax.device_put(rng, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+
+    best_mae = args.best_MAE
+    for epoch in range(start_epoch, args.train_epochs):
+        t0 = time.time()
+        total_loss, n_steps = 0.0, 0
+        for batch in train_loader:
+            images = _pad_batch(batch["image"], args.batch_size)
+            gts = _pad_batch(batch["gt"], args.batch_size)
+            if mesh is not None:
+                images, gts = shard_batch(images, mesh), shard_batch(gts, mesh)
+            else:
+                images, gts = jnp.asarray(images), jnp.asarray(gts)
+            state, m = train_step(state, images, gts, rng)
+            total_loss += float(m["loss"])
+            n_steps += 1
+        loss = total_loss / max(1, n_steps)
+        lr = _current_lr(args, epoch, decay_epochs, decay_factors)
+        print(f"Epoch [{epoch + 1:03d}/{args.train_epochs:03d}] loss {loss:.4f} "
+              f"lr {lr:.2e} ({time.time() - t0:.1f}s)")
+
+        if epoch + 1 >= args.see:
+            results = evaluate_in_loop(state, eval_step, args.evaluation_root, args.img_size)
+            record(args, tb_writer, results, epoch, args.train_epochs, loss, lr)
+            if best_mae is None or results["MAE"] < best_mae:
+                ckpt.save_params(ckpt.best_mae_path(save_dir, args.method, results["MAE"], epoch),
+                                 {"params": jax.tree.map(np.asarray, state.params)})
+            if (epoch + 1) % 5 == 0:
+                ckpt.save_resume(os.path.join(save_dir, f"{args.method}_resume"), state, epoch)
+    return state
+
+
+def _current_lr(args, epoch, decay_epochs, decay_factors) -> float:
+    lr = args.lr
+    for e, f in sorted(zip(decay_epochs, decay_factors)):
+        if epoch >= e:
+            lr = args.lr * f
+    return lr
+
+
+def record(args, tb_writer, results: dict, epoch: int, epochs: int, loss: float, lr: float):
+    """Append-only text record + TensorBoard scalars (train.py:154-209)."""
+    os.makedirs(args.save_model, exist_ok=True)
+    path = os.path.join(args.save_model, f"Record_{args.method}.txt")
+    with open(path, "a") as f:
+        if epoch == 0 or not os.path.getsize(path):
+            f.write("\n" + str(datetime.datetime.now()) + "\nStart record.\n")
+            json.dump({k: str(v) for k, v in vars(args).items()}, f, indent=4)
+            f.write(f"\nCurrent lr: {lr}\n")
+        f.write(
+            f"Epoch:{epoch + 1}||train_loss{loss}; "
+            f"Smeasure:{results['Smeasure']:.4f}; wFmeasure:{results['wFmeasure']:.4f}; "
+            f"MAE:{results['MAE']:.4f}; fnr:{results['fnr']:.4f}||"
+            f"adpEm:{results['adpEm']:.4f}; meanEm:{results['meanEm']:.4f}; "
+            f"maxEm:{results['maxEm']:.4f}; adpFm:{results['adpFm']:.4f}; "
+            f"meanFm:{results['meanFm']:.4f}; maxFm:{results['maxFm']:.4f}\n"
+        )
+        if epoch + 1 == epochs:
+            f.write(str(datetime.datetime.now()) + "\nEnd Training Record.\n")
+    if tb_writer is not None:
+        tb_writer.add_scalar("lr", lr, epoch + 1)
+        for key in ("MAE", "adpFm", "meanFm", "maxFm", "adpEm", "meanEm", "maxEm",
+                    "wFmeasure", "Smeasure"):
+            tb_writer.add_scalar(key, results[key], epoch + 1)
+    print(" | ".join(f"{k}:{results[k]:.4f}" for k in
+                     ("MAE", "Smeasure", "wFmeasure", "adpEm", "meanEm", "maxEm",
+                      "adpFm", "meanFm", "maxFm")))
+
+
+def training(args):
+    """Entry point (train.py:283-297): seed, build, load data, fit."""
+    np.random.seed(1026)
+    tb_writer = None
+    if getattr(args, "tf_log_path", None):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            tb_writer = SummaryWriter(os.path.join(args.tf_log_path, args.method))
+        except Exception:
+            pass
+    print(f"Starting train..... Model:{args.method}")
+    model = build(args.method, args, dtype=jnp.dtype(getattr(args, "dtype", "float32")))
+    variables = init_model(args, model)
+    ds = SODDataset(args.data_root, ["Train"], args.img_size, mode="train")
+    loader = BatchLoader(ds, batch_size=args.batch_size, shuffle=True, seed=1026,
+                         num_threads=8, drop_last=False)
+    return fit(args, model, variables, loader, tb_writer)

@@ -12,7 +12,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-__all__ = ["bce_with_logits", "iou_loss", "deep_supervision_loss"]
+__all__ = ["bce_with_logits", "iou_loss", "deep_supervision_loss", "structure_loss", "weighted_bce"]
 
 
 def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
@@ -51,3 +51,44 @@ def deep_supervision_loss(outputs: Sequence[jnp.ndarray], gt: jnp.ndarray) -> jn
         up = _resize_bilinear(out, H, W)
         total = total + bce_with_logits(up, gt) + iou_loss(up, gt)
     return total
+
+
+def structure_loss(logits: jnp.ndarray, mask: jnp.ndarray, weight=None) -> jnp.ndarray:
+    """Edge-weighted BCE + weighted IoU on smoothed GT (utils/loss.py:15-34).
+
+    NHWC tensors; the 31x31 average pool computes a local-context deviation
+    weight emphasizing boundary pixels.
+    """
+    logits = logits.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
+    if weight is None:
+        # torch avg_pool2d default counts padded zeros: divide by the full 31*31
+        pooled = jax.lax.reduce_window(
+            mask, 0.0, jax.lax.add, (1, 31, 31, 1), (1, 1, 1, 1), "SAME"
+        ) / (31.0 * 31.0)
+        weit = 1 + 5 * jnp.abs(pooled - mask)
+    else:
+        weit = 1 + 5 * weight
+    eps = 0.001
+    smooth = (1 - eps) * mask + eps / 2
+    raw_bce = jnp.maximum(logits, 0) - logits * smooth + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    axes = (1, 2, 3)
+    wbce_v = jnp.sum(weit * raw_bce, axis=axes) / jnp.sum(weit, axis=axes)
+    pred = jax.nn.sigmoid(logits)
+    inter = jnp.sum(pred * mask * weit, axis=axes)
+    union = jnp.sum((pred + mask) * weit, axis=axes)
+    wiou = 1 - (inter + 1) / (union - inter + 1)
+    return jnp.mean(wbce_v + wiou)
+
+
+def weighted_bce(logits: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Edge-weighted BCE with a 15x15 context window (utils/loss.py:38-42)."""
+    logits = logits.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
+    pooled = jax.lax.reduce_window(
+        mask, 0.0, jax.lax.add, (1, 15, 15, 1), (1, 1, 1, 1), "SAME"
+    ) / (15.0 * 15.0)
+    weit = 1 + 5 * jnp.abs(pooled - mask)
+    raw_bce = jnp.maximum(logits, 0) - logits * mask + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    axes = (1, 2, 3)
+    return jnp.mean(jnp.sum(weit * raw_bce, axis=axes) / jnp.sum(weit, axis=axes))

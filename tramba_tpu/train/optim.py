@@ -14,9 +14,24 @@ import optax
 __all__ = ["step_decay_schedule", "make_optimizer", "encoder_label_fn"]
 
 
-def step_decay_schedule(base_lr: float, decay_epochs: Sequence[int], rate: float, steps_per_epoch: int):
-    boundaries = {int(e) * steps_per_epoch: rate for e in decay_epochs}
-    return optax.piecewise_constant_schedule(base_lr, boundaries)
+def step_decay_schedule(base_lr: float, decay_epochs: Sequence[int], decay_factors, steps_per_epoch: int):
+    """lr = base * factor_of_last_passed_decay_epoch (utils/lr.py:11-14 —
+    factors are absolute multipliers of base_lr, not cumulative)."""
+    import jax.numpy as jnp
+
+    if not hasattr(decay_factors, "__len__"):
+        decay_factors = [decay_factors] * len(decay_epochs)
+    assert len(decay_epochs) == len(decay_factors)
+    pairs = sorted(zip([int(e) for e in decay_epochs], [float(f) for f in decay_factors]))
+
+    def schedule(step):
+        epoch = step // steps_per_epoch
+        factor = jnp.ones((), jnp.float32)
+        for e, f in pairs:
+            factor = jnp.where(epoch >= e, jnp.float32(f), factor)
+        return base_lr * factor
+
+    return schedule
 
 
 def encoder_label_fn(params) -> dict:
@@ -38,7 +53,7 @@ def encoder_label_fn(params) -> dict:
 def make_optimizer(
     base_lr: float = 1e-4,
     decay_epochs: Sequence[int] = (60,),
-    decay_rate: float = 0.2,
+    decay_rate=0.2,
     steps_per_epoch: int = 1,
     encoder_lr_scale: float = 0.1,
     params=None,

@@ -2,18 +2,20 @@
 
 One jitted SPMD step over a ``Mesh``: inputs sharded on the 'data' axis,
 parameters replicated; XLA inserts the gradient psum that plays the role of
-the DDP all-reduce the reference never had (SURVEY.md §2.11).
+the DDP all-reduce the reference never had (SURVEY.md §2.11).  Models with
+auxiliary variable collections (BatchNorm running stats) thread them through
+``model_state``.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
+from flax.core import freeze, unfreeze
 
 from tramba_tpu.train.loss import deep_supervision_loss
 
@@ -23,15 +25,20 @@ __all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_ste
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
+    model_state: Dict  # auxiliary collections (e.g. batch_stats); {} if none
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Callable = struct.field(pytree_node=False)
 
 
-def create_train_state(model, params, tx) -> TrainState:
+def create_train_state(model, variables, tx) -> TrainState:
+    """``variables``: the full init() output ({'params': ..., [collections]})."""
+    variables = unfreeze(variables)
+    params = variables.pop("params")
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
+        model_state=variables,
         opt_state=tx.init(params),
         tx=tx,
         apply_fn=model.apply,
@@ -43,15 +50,26 @@ def make_train_step(donate: bool = True):
 
     def step(state: TrainState, images, gts, rng):
         rng = jax.random.fold_in(rng, state.step)
+        mutable = list(state.model_state.keys())
 
         def loss_fn(params):
-            outs = state.apply_fn(params, images, deterministic=False, rngs={"dropout": rng})
-            return deep_supervision_loss(outs, gts)
+            variables = {"params": params, **state.model_state}
+            if mutable:
+                outs, new_mstate = state.apply_fn(
+                    variables, images, deterministic=False, rngs={"dropout": rng}, mutable=mutable
+                )
+            else:
+                outs = state.apply_fn(variables, images, deterministic=False, rngs={"dropout": rng})
+                new_mstate = state.model_state
+            return deep_supervision_loss(outs, gts), new_mstate
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        (loss, new_mstate), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(step=state.step + 1, params=new_params, opt_state=new_opt)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, model_state=unfreeze(freeze(new_mstate)),
+            opt_state=new_opt,
+        )
         return new_state, {"loss": loss}
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -61,7 +79,8 @@ def make_eval_step():
     """Returns eval(state, images) -> full-resolution sigmoid saliency maps."""
 
     def step(state: TrainState, images):
-        outs = state.apply_fn(state.params, images, deterministic=True)
+        variables = {"params": state.params, **state.model_state}
+        outs = state.apply_fn(variables, images, deterministic=True)
         return jax.nn.sigmoid(outs[-1].astype(jnp.float32))
 
     return jax.jit(step)
