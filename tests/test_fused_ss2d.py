@@ -1,0 +1,41 @@
+"""Fused SS2D kernel vs composed path: forward parity + gradient flow."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tramba_tpu.ops.fused_ss2d import composed_ss2d_core, fused_ss2d_core
+
+
+def _inputs(B=2, K=4, L=300, D=16, R=3, seed=0):
+    rng = np.random.default_rng(seed)
+    xs = rng.normal(size=(B, K, L, D)).astype(np.float32)
+    wx = (rng.normal(size=(K, R + 2, D)) * 0.2).astype(np.float32)
+    wdt = (rng.normal(size=(K, D, R)) * 0.3).astype(np.float32)
+    bias = (rng.normal(size=(K, D)) * 0.2).astype(np.float32)
+    A_logs = rng.normal(size=(K, D, 1)).astype(np.float32) * 0.3
+    Ds = rng.normal(size=(K, D)).astype(np.float32)
+    return [jnp.asarray(a) for a in (xs, wx, wdt, bias, A_logs, Ds)]
+
+
+def test_fused_matches_composed():
+    args = _inputs()
+    y_f = fused_ss2d_core(*args)  # interpret-mode pallas on CPU
+    y_c = composed_ss2d_core(*args, backend="assoc")
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_grad_is_composed_grad():
+    args = _inputs(B=1, K=2, L=32, D=8, R=2, seed=1)
+
+    def loss_f(*a):
+        return jnp.sum(jnp.tanh(fused_ss2d_core(*a)))
+
+    def loss_c(*a):
+        return jnp.sum(jnp.tanh(composed_ss2d_core(*a, backend="assoc")))
+
+    g_f = jax.grad(loss_f, argnums=tuple(range(6)))(*args)
+    g_c = jax.grad(loss_c, argnums=tuple(range(6)))(*args)
+    for a, b in zip(g_f, g_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)

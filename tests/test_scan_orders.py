@@ -162,3 +162,27 @@ def test_window_tables_match_reference(H, ws):
     for k in range(4):
         flat = (ref[k][:, 0] * H + ref[k][:, 1]).numpy()
         np.testing.assert_array_equal(ours[k], flat)
+
+
+@pytest.mark.parametrize(
+    "kind,param,K",
+    [("raster", 0, 4), ("dilation", 4, 4), ("dilation", 3, 4), ("window", 2, 4), ("line", 0, 8),
+     ("line4", 0, 4)],
+)
+@pytest.mark.parametrize("H,W", [(8, 8), (12, 12), (24, 24)])
+def test_structured_fast_paths_match_tables(kind, param, K, H, W):
+    """Layout-op fast paths == index-table gathers for every live order."""
+    order = so.get_order(kind, H, W, param)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(2, H * W, 3)).astype(np.float32))
+    fast = so._structured_scan(x, kind, H, W, param)
+    table = so._scan_impl(x, order.idx)
+    if fast is None:  # non-divisible dilation rates fall back to tables
+        assert kind == "dilation"
+        return
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(table), rtol=1e-6)
+
+    ys = jnp.asarray(rng.normal(size=(2, K, H * W, 3)).astype(np.float32))
+    fastm = so._structured_merge(ys, kind, H, W, param)
+    tablem = so._merge_impl(ys, order.inv)
+    np.testing.assert_allclose(np.asarray(fastm), np.asarray(tablem), rtol=1e-6, atol=1e-6)

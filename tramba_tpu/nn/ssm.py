@@ -18,6 +18,7 @@ import numpy as np
 from flax import linen as nn
 
 from tramba_tpu.nn.layers import LayerNorm, conv_kaiming_init, trunc_normal_init
+from tramba_tpu.ops.fused_ss2d import composed_ss2d_core, fused_ss2d_core
 from tramba_tpu.ops.scan_orders import cross_merge, cross_scan
 from tramba_tpu.ops.selective_scan import selective_scan
 
@@ -101,13 +102,18 @@ class SS2D(nn.Module):
         Ds = self.param("Ds", nn.initializers.ones, (K, d_inner))
 
         xs = cross_scan(x.reshape(B, L, d_inner), self.scan_kind, H, W, self.scan_param)
-        cd = self.dtype
-        dbc = jnp.einsum("bkld,kcd->bklc", xs.astype(cd), x_proj_w.astype(cd))
-        dts, Bc, Cc = jnp.split(dbc, [R, R + N], axis=-1)
-        dts = jnp.einsum("bklr,kdr->bkld", dts, dt_w.astype(cd))
-
-        A = -jnp.exp(A_logs.astype(jnp.float32))
-        ys = selective_scan(xs, dts, A, Bc, Cc, Ds, dt_b, backend=self.backend)
+        if N == 1 and self.backend in (None, "pallas") and jax.default_backend() == "tpu":
+            # fused kernel: projections + discretization + recurrence + output
+            ys = fused_ss2d_core(xs, x_proj_w, dt_w, dt_b, A_logs, Ds)
+        elif N == 1:
+            ys = composed_ss2d_core(xs, x_proj_w, dt_w, dt_b, A_logs, Ds, backend=self.backend)
+        else:
+            cd = self.dtype
+            dbc = jnp.einsum("bkld,kcd->bklc", xs.astype(cd), x_proj_w.astype(cd))
+            dts, Bc, Cc = jnp.split(dbc, [R, R + N], axis=-1)
+            dts = jnp.einsum("bklr,kdr->bkld", dts, dt_w.astype(cd))
+            A = -jnp.exp(A_logs.astype(jnp.float32))
+            ys = selective_scan(xs, dts, A, Bc, Cc, Ds, dt_b, backend=self.backend)
         y = cross_merge(ys, self.scan_kind, H, W, self.scan_param)
 
         y = LayerNorm(dtype=self.dtype, name="out_norm")(y)

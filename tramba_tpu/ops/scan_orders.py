@@ -346,6 +346,194 @@ def get_order(kind: str, H: int, W: int, param: int = 0) -> ScanOrder:
 
 
 # ---------------------------------------------------------------------------
+# structured fast paths: raster / dilation / window orders are pure layout
+# ops (reshape / transpose / flip) — no gathers touch the device.  Only the
+# Bresenham line directions need real index gathers.
+# ---------------------------------------------------------------------------
+
+
+def _t(x, H, W):
+    """Sequence-order transpose: row-major of the transposed map."""
+    B, L, D = x.shape
+    return x.reshape(B, H, W, D).transpose(0, 2, 1, 3).reshape(B, L, D)
+
+
+def _raster_scan_fast(x, H, W):
+    x1 = _t(x, H, W)
+    return jnp.stack([x, x1, jnp.flip(x, 1), jnp.flip(x1, 1)], axis=1)
+
+
+def _raster_merge_fast(ys, H, W):
+    a = ys[:, 0] + jnp.flip(ys[:, 2], 1)
+    b = ys[:, 1] + jnp.flip(ys[:, 3], 1)
+    return a + _t(b, W, H)
+
+
+def _phase_major(x, rate):
+    """Dilated order: all positions = p (mod rate) first, then p+1, ..."""
+    B, L, D = x.shape
+    return x.reshape(B, L // rate, rate, D).transpose(0, 2, 1, 3).reshape(B, L, D)
+
+
+def _phase_major_inv(x, rate):
+    B, L, D = x.shape
+    return x.reshape(B, rate, L // rate, D).transpose(0, 2, 1, 3).reshape(B, L, D)
+
+
+def _dilation_scan_fast(x, H, W, rate):
+    xt = _t(x, H, W)
+    return jnp.stack(
+        [
+            _phase_major(x, rate),
+            _phase_major(xt, rate),
+            _phase_major(jnp.flip(x, 1), rate),
+            _phase_major(jnp.flip(xt, 1), rate),
+        ],
+        axis=1,
+    )
+
+
+def _dilation_merge_fast(ys, H, W, rate):
+    y0 = _phase_major_inv(ys[:, 0], rate)
+    y1 = _phase_major_inv(ys[:, 1], rate)
+    y2 = jnp.flip(_phase_major_inv(ys[:, 2], rate), 1)
+    y3 = jnp.flip(_phase_major_inv(ys[:, 3], rate), 1)
+    return y0 + y2 + _t(y1 + y3, W, H)
+
+
+def _window_order(x, H, W, ws):
+    """Windows in row-major grid order, row-major within each window."""
+    B, L, D = x.shape
+    x = x.reshape(B, H // ws, ws, W // ws, ws, D)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, L, D)
+
+
+def _window_order_inv(x, H, W, ws):
+    B, L, D = x.shape
+    x = x.reshape(B, H // ws, W // ws, ws, ws, D)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, L, D)
+
+
+def _window_scan_fast(x, H, W, ws):
+    h = _window_order(x, H, W, ws)
+    v = _window_order(_t(x, H, W), W, H, ws)
+    return jnp.stack([h, jnp.flip(h, 1), v, jnp.flip(v, 1)], axis=1)
+
+
+def _window_merge_fast(ys, H, W, ws):
+    h = _window_order_inv(ys[:, 0] + jnp.flip(ys[:, 1], 1), H, W, ws)
+    v = _window_order_inv(ys[:, 2] + jnp.flip(ys[:, 3], 1), W, H, ws)
+    return h + _t(v, W, H)
+
+
+@functools.lru_cache(maxsize=None)
+def _line_selectors(H: int, W: int):
+    """Dense one-hot selectors turning Bresenham line scans into MXU matmuls.
+
+    Structure (verified against the tables): each row-started line visits
+    exactly one pixel per column (|dy| <= dx), each column-started line one
+    pixel per row with descending row order.  So family f's sequence is
+    part1[l, x] = img[Y_f[l, x], x] followed by part2[l, j] = img[W-1-j,
+    X_f[l, j]] — per-column / per-row selections, i.e. batched (tiny)
+    matmuls with 0/1 matrices instead of scatter/gather.
+    """
+    out = []
+    tabs = line_tables(H, W)
+    n1 = ((H + 1) // 2) * H  # row-started lines come first
+    for fam_dir in (0, 2):
+        tab = tabs[fam_dir].astype(np.int64)
+        part1 = tab[:n1].reshape(-1, H)
+        y1, x1 = part1 // H, part1 % H
+        assert (x1 == np.arange(H)).all()
+        P1 = np.zeros((W, part1.shape[0], H), np.float32)  # [x, l, y]
+        P1[x1.reshape(-1), np.repeat(np.arange(part1.shape[0]), H), y1.reshape(-1)] = 1
+        part2 = tab[n1:].reshape(-1, W)
+        y2, x2 = part2 // H, part2 % H
+        assert (y2 == np.arange(W - 1, -1, -1)).all()
+        n2 = part2.shape[0]
+        Q2 = np.zeros((H, n2, W), np.float32)  # [row, l, col]
+        rows = (W - 1 - np.repeat(np.arange(W)[None], n2, 0)).reshape(-1)
+        Q2[rows, np.repeat(np.arange(n2), W), x2.reshape(-1)] = 1
+        out.append((P1, Q2))
+    return out
+
+
+def _line_family_scan(ximg, P1, Q2):
+    """(B, H, W, D) -> (B, L, D) sequence of one Bresenham family."""
+    B, H, W, D = ximg.shape
+    s1 = jnp.einsum("bhwd,wlh->blwd", ximg, P1.astype(ximg.dtype),
+                    preferred_element_type=jnp.float32).astype(ximg.dtype)
+    q = jnp.einsum("bhwd,hlw->blhd", ximg, Q2.astype(ximg.dtype),
+                   preferred_element_type=jnp.float32).astype(ximg.dtype)
+    s2 = jnp.flip(q, axis=2)
+    return jnp.concatenate([s1.reshape(B, -1, D), s2.reshape(B, -1, D)], axis=1)
+
+
+def _line_family_merge(seq, P1, Q2, H, W):
+    """Transpose of :func:`_line_family_scan`: (B, L, D) -> (B, H, W, D)."""
+    B, L, D = seq.shape
+    n1, n2 = P1.shape[1], Q2.shape[1]
+    s1 = seq[:, : n1 * W].reshape(B, n1, W, D)
+    s2 = jnp.flip(seq[:, n1 * W :].reshape(B, n2, H, D), axis=2)
+    y1 = jnp.einsum("blwd,wlh->bhwd", s1, P1.astype(seq.dtype),
+                    preferred_element_type=jnp.float32)
+    y2 = jnp.einsum("blhd,hlw->bhwd", s2, Q2.astype(seq.dtype),
+                    preferred_element_type=jnp.float32)
+    return (y1 + y2).astype(seq.dtype)
+
+
+def _per_line_flip(seq, H):
+    B, L, D = seq.shape
+    return jnp.flip(seq.reshape(B, L // H, H, D), axis=2).reshape(B, L, D)
+
+
+def _line_scan_fast(x, H, W):
+    """The 4 Bresenham directions: [fam0, fam0 per-line-flipped, fam1, ...]."""
+    ximg = x.reshape(x.shape[0], H, W, x.shape[-1])
+    (P1a, Q2a), (P1b, Q2b) = _line_selectors(H, W)
+    fam0 = _line_family_scan(ximg, jnp.asarray(P1a), jnp.asarray(Q2a))
+    fam1 = _line_family_scan(ximg, jnp.asarray(P1b), jnp.asarray(Q2b))
+    return jnp.stack([fam0, _per_line_flip(fam0, H), fam1, _per_line_flip(fam1, H)], axis=1)
+
+
+def _line_merge_fast(ys, H, W):
+    (P1a, Q2a), (P1b, Q2b) = _line_selectors(H, W)
+    f0 = ys[:, 0] + _per_line_flip(ys[:, 1], H)
+    f1 = ys[:, 2] + _per_line_flip(ys[:, 3], H)
+    y = _line_family_merge(f0, jnp.asarray(P1a), jnp.asarray(Q2a), H, W)
+    y = y + _line_family_merge(f1, jnp.asarray(P1b), jnp.asarray(Q2b), H, W)
+    return y.reshape(ys.shape[0], H * W, ys.shape[-1])
+
+
+def _structured_scan(x, kind, H, W, param):
+    if kind == "raster":
+        return _raster_scan_fast(x, H, W)
+    if kind == "dilation" and (H * W) % (param or 4) == 0:
+        return _dilation_scan_fast(x, H, W, param or 4)
+    if kind == "window":
+        return _window_scan_fast(x, H, W, param)
+    if kind == "line":
+        return jnp.concatenate([_raster_scan_fast(x, H, W), _line_scan_fast(x, H, W)], axis=1)
+    if kind == "line4":
+        return _line_scan_fast(x, H, W)
+    return None
+
+
+def _structured_merge(ys, kind, H, W, param):
+    if kind == "raster":
+        return _raster_merge_fast(ys, H, W)
+    if kind == "dilation" and (H * W) % (param or 4) == 0:
+        return _dilation_merge_fast(ys, H, W, param or 4)
+    if kind == "window":
+        return _window_merge_fast(ys, H, W, param)
+    if kind == "line":
+        return _raster_merge_fast(ys[:, :4], H, W) + _line_merge_fast(ys[:, 4:], H, W)
+    if kind == "line4":
+        return _line_merge_fast(ys, H, W)
+    return None
+
+
+# ---------------------------------------------------------------------------
 # scan / merge ops (linear, mutually-transposed custom VJPs)
 # ---------------------------------------------------------------------------
 
@@ -368,10 +556,23 @@ def _merge_impl(ys: jnp.ndarray, inv: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _scan_any(x, kind, HW, param):
+    out = _structured_scan(x, kind, HW[0], HW[1], param)
+    if out is None:
+        out = _scan_impl(x, get_order(kind, HW[0], HW[1], param).idx)
+    return out
+
+
+def _merge_any(ys, kind, HW, param):
+    out = _structured_merge(ys, kind, HW[0], HW[1], param)
+    if out is None:
+        out = _merge_impl(ys, get_order(kind, HW[0], HW[1], param).inv)
+    return out
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def _scan_op(x, kind, HW, param):
-    order = get_order(kind, HW[0], HW[1], param)
-    return _scan_impl(x, order.idx)
+    return _scan_any(x, kind, HW, param)
 
 
 def _scan_fwd(x, kind, HW, param):
@@ -379,8 +580,7 @@ def _scan_fwd(x, kind, HW, param):
 
 
 def _scan_bwd(kind, HW, param, _, g):
-    order = get_order(kind, HW[0], HW[1], param)
-    return (_merge_impl(g, order.inv),)
+    return (_merge_any(g, kind, HW, param),)
 
 
 _scan_op.defvjp(_scan_fwd, _scan_bwd)
@@ -388,8 +588,7 @@ _scan_op.defvjp(_scan_fwd, _scan_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def _merge_op(ys, kind, HW, param):
-    order = get_order(kind, HW[0], HW[1], param)
-    return _merge_impl(ys, order.inv)
+    return _merge_any(ys, kind, HW, param)
 
 
 def _merge_fwd(ys, kind, HW, param):
@@ -397,8 +596,7 @@ def _merge_fwd(ys, kind, HW, param):
 
 
 def _merge_bwd(kind, HW, param, _, g):
-    order = get_order(kind, HW[0], HW[1], param)
-    return (_scan_impl(g, order.idx),)
+    return (_scan_any(g, kind, HW, param),)
 
 
 _merge_op.defvjp(_merge_fwd, _merge_bwd)
