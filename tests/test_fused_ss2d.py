@@ -39,3 +39,45 @@ def test_fused_grad_is_composed_grad():
     g_c = jax.grad(loss_c, argnums=tuple(range(6)))(*args)
     for a, b in zip(g_f, g_c):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+
+
+def _full_inputs(B=2, K=4, H=8, W=8, D=16, R=3, seed=2):
+    rng = np.random.default_rng(seed)
+    L = H * W
+    x = rng.normal(size=(B, L, D)).astype(np.float32)
+    wx = (rng.normal(size=(K, R + 2, D)) * 0.2).astype(np.float32)
+    wdt = (rng.normal(size=(K, D, R)) * 0.3).astype(np.float32)
+    bias = (rng.normal(size=(K, D)) * 0.2).astype(np.float32)
+    A_logs = rng.normal(size=(K, D, 1)).astype(np.float32) * 0.3
+    Ds = rng.normal(size=(K, D)).astype(np.float32)
+    scale = rng.normal(size=(D,)).astype(np.float32) * 0.1 + 1
+    lb = rng.normal(size=(D,)).astype(np.float32) * 0.1
+    return [jnp.asarray(a) for a in (x, wx, wdt, bias, A_logs, Ds, scale, lb)]
+
+
+@pytest.mark.parametrize("kind,K,H", [("raster", 4, 8), ("raster", 4, 12), ("line", 8, 8),
+                                      ("line", 8, 12)])
+def test_folded_matches_composed(kind, K, H):
+    from tramba_tpu.ops.fused_ss2d import composed_ss2d_full, fused_ss2d_full
+
+    args = _full_inputs(K=K, H=H, W=H)
+    y_f = fused_ss2d_full(*args, kind, H, H)
+    y_c = composed_ss2d_full(*args, kind=kind, H=H, W=H, backend="assoc")
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c), rtol=5e-4, atol=5e-4)
+
+
+def test_folded_grad_matches_composed():
+    from tramba_tpu.ops.fused_ss2d import composed_ss2d_full, fused_ss2d_full
+
+    args = _full_inputs(B=1, K=4, H=8, W=8, D=8, R=2, seed=3)
+
+    def lf(*a):
+        return jnp.sum(jnp.tanh(fused_ss2d_full(*a, "raster", 8, 8)))
+
+    def lc(*a):
+        return jnp.sum(jnp.tanh(composed_ss2d_full(*a, kind="raster", H=8, W=8, backend="assoc")))
+
+    gf = jax.grad(lf, argnums=tuple(range(8)))(*args)
+    gc = jax.grad(lc, argnums=tuple(range(8)))(*args)
+    for a, b in zip(gf, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-4)

@@ -18,9 +18,25 @@ import numpy as np
 from flax import linen as nn
 
 from tramba_tpu.nn.layers import LayerNorm, conv_kaiming_init, trunc_normal_init
-from tramba_tpu.ops.fused_ss2d import composed_ss2d_core, fused_ss2d_core
+from tramba_tpu.ops.fused_ss2d import composed_ss2d_core, fused_ss2d_core, fused_ss2d_full
 from tramba_tpu.ops.scan_orders import cross_merge, cross_scan
 from tramba_tpu.ops.selective_scan import selective_scan
+
+
+class _NormParams(nn.Module):
+    """Bare LayerNorm parameters (scale, bias) — applied inside fused kernels.
+
+    Named 'out_norm' in SS2D so the checkpoint tree matches nn.LayerNorm's.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.features,)),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
 
 __all__ = ["SS2D"]
 
@@ -101,23 +117,41 @@ class SS2D(nn.Module):
         A_logs = self.param("A_logs", _a_log_init, (K, d_inner, N))
         Ds = self.param("Ds", nn.initializers.ones, (K, d_inner))
 
-        xs = cross_scan(x.reshape(B, L, d_inner), self.scan_kind, H, W, self.scan_param)
-        if N == 1 and self.backend in (None, "pallas") and jax.default_backend() == "tpu":
-            # fused kernel: projections + discretization + recurrence + output
-            ys = fused_ss2d_core(xs, x_proj_w, dt_w, dt_b, A_logs, Ds)
-        elif N == 1:
-            ys = composed_ss2d_core(xs, x_proj_w, dt_w, dt_b, A_logs, Ds, backend=self.backend)
+        on_tpu = jax.default_backend() == "tpu"
+        use_folded = (
+            N == 1
+            and self.scan_kind in ("raster", "line")
+            and self.backend in (None, "pallas")
+            and on_tpu
+        )
+        ln_scale, ln_bias = _NormParams(d_inner, name="out_norm")()
+        if use_folded:
+            # direction-folded kernels: raster scan/merge live as index maps;
+            # merge + LayerNorm + GELU fused into one pass
+            y = fused_ss2d_full(
+                x.reshape(B, L, d_inner), x_proj_w, dt_w, dt_b, A_logs, Ds,
+                ln_scale, ln_bias, self.scan_kind, H, W,
+            )
         else:
-            cd = self.dtype
-            dbc = jnp.einsum("bkld,kcd->bklc", xs.astype(cd), x_proj_w.astype(cd))
-            dts, Bc, Cc = jnp.split(dbc, [R, R + N], axis=-1)
-            dts = jnp.einsum("bklr,kdr->bkld", dts, dt_w.astype(cd))
-            A = -jnp.exp(A_logs.astype(jnp.float32))
-            ys = selective_scan(xs, dts, A, Bc, Cc, Ds, dt_b, backend=self.backend)
-        y = cross_merge(ys, self.scan_kind, H, W, self.scan_param)
-
-        y = LayerNorm(dtype=self.dtype, name="out_norm")(y)
-        y = nn.gelu(y, approximate=False)
+            xs = cross_scan(x.reshape(B, L, d_inner), self.scan_kind, H, W, self.scan_param)
+            if N == 1 and self.backend in (None, "pallas") and on_tpu:
+                ys = fused_ss2d_core(xs, x_proj_w, dt_w, dt_b, A_logs, Ds)
+            elif N == 1:
+                ys = composed_ss2d_core(xs, x_proj_w, dt_w, dt_b, A_logs, Ds, backend=self.backend)
+            else:
+                cd = self.dtype
+                dbc = jnp.einsum("bkld,kcd->bklc", xs.astype(cd), x_proj_w.astype(cd))
+                dts, Bc, Cc = jnp.split(dbc, [R, R + N], axis=-1)
+                dts = jnp.einsum("bklr,kdr->bkld", dts, dt_w.astype(cd))
+                A = -jnp.exp(A_logs.astype(jnp.float32))
+                ys = selective_scan(xs, dts, A, Bc, Cc, Ds, dt_b, backend=self.backend)
+            y = cross_merge(ys, self.scan_kind, H, W, self.scan_param)
+            yf = y.astype(jnp.float32)
+            mean = jnp.mean(yf, axis=-1, keepdims=True)
+            var = jnp.mean((yf - mean) ** 2, axis=-1, keepdims=True)
+            yf = (yf - mean) * jax.lax.rsqrt(var + 1e-5)
+            yf = yf * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+            y = nn.gelu(yf, approximate=False).astype(self.dtype)
         y = nn.Dense(
             self.d_model, use_bias=self.bias, kernel_init=trunc_normal_init, dtype=self.dtype, name="out_proj"
         )(y)

@@ -458,12 +458,18 @@ def _line_selectors(H: int, W: int):
     return out
 
 
+def _sel_precision(dtype):
+    # 0/1 selection matmuls must not truncate fp32 activations to bf16
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
 def _line_family_scan(ximg, P1, Q2):
     """(B, H, W, D) -> (B, L, D) sequence of one Bresenham family."""
     B, H, W, D = ximg.shape
-    s1 = jnp.einsum("bhwd,wlh->blwd", ximg, P1.astype(ximg.dtype),
+    prec = _sel_precision(ximg.dtype)
+    s1 = jnp.einsum("bhwd,wlh->blwd", ximg, P1.astype(ximg.dtype), precision=prec,
                     preferred_element_type=jnp.float32).astype(ximg.dtype)
-    q = jnp.einsum("bhwd,hlw->blhd", ximg, Q2.astype(ximg.dtype),
+    q = jnp.einsum("bhwd,hlw->blhd", ximg, Q2.astype(ximg.dtype), precision=prec,
                    preferred_element_type=jnp.float32).astype(ximg.dtype)
     s2 = jnp.flip(q, axis=2)
     return jnp.concatenate([s1.reshape(B, -1, D), s2.reshape(B, -1, D)], axis=1)
@@ -473,11 +479,12 @@ def _line_family_merge(seq, P1, Q2, H, W):
     """Transpose of :func:`_line_family_scan`: (B, L, D) -> (B, H, W, D)."""
     B, L, D = seq.shape
     n1, n2 = P1.shape[1], Q2.shape[1]
+    prec = _sel_precision(seq.dtype)
     s1 = seq[:, : n1 * W].reshape(B, n1, W, D)
     s2 = jnp.flip(seq[:, n1 * W :].reshape(B, n2, H, D), axis=2)
-    y1 = jnp.einsum("blwd,wlh->bhwd", s1, P1.astype(seq.dtype),
+    y1 = jnp.einsum("blwd,wlh->bhwd", s1, P1.astype(seq.dtype), precision=prec,
                     preferred_element_type=jnp.float32)
-    y2 = jnp.einsum("blhd,hlw->bhwd", s2, Q2.astype(seq.dtype),
+    y2 = jnp.einsum("blhd,hlw->bhwd", s2, Q2.astype(seq.dtype), precision=prec,
                     preferred_element_type=jnp.float32)
     return (y1 + y2).astype(seq.dtype)
 
