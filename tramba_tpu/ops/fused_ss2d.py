@@ -243,7 +243,7 @@ def _dirs_kernel(R, transposed, hi, xs_ref, wx_ref, wdt_ref, bias_ref, A_ref, Ds
 
 def _seq_target(D):
     """Chunk length budget: keep T*D fp32 working set well inside VMEM."""
-    return max(64, min(512, 131072 // max(D, 1)))
+    return max(64, min(256, 65536 // max(D, 1)))
 
 
 def _row_chunk(H, W, D=256):

@@ -468,9 +468,9 @@ def _line_family_scan(ximg, P1, Q2):
     B, H, W, D = ximg.shape
     prec = _sel_precision(ximg.dtype)
     s1 = jnp.einsum("bhwd,wlh->blwd", ximg, P1.astype(ximg.dtype), precision=prec,
-                    preferred_element_type=jnp.float32).astype(ximg.dtype)
+                    preferred_element_type=ximg.dtype)
     q = jnp.einsum("bhwd,hlw->blhd", ximg, Q2.astype(ximg.dtype), precision=prec,
-                   preferred_element_type=jnp.float32).astype(ximg.dtype)
+                   preferred_element_type=ximg.dtype)
     s2 = jnp.flip(q, axis=2)
     return jnp.concatenate([s1.reshape(B, -1, D), s2.reshape(B, -1, D)], axis=1)
 
