@@ -51,3 +51,20 @@ def test_dp_step_matches_single_device():
     _, m2 = step(state2, shard_batch(images, mesh), shard_batch(gts, mesh),
                  jax.device_put(key, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())))
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+
+
+def test_sequence_parallel_linear_scan():
+    """L-sharded scan over the 8-device mesh == single-device scan."""
+    from tramba_tpu.ops.selective_scan import linear_scan
+    from tramba_tpu.parallel.seq_scan import sequence_parallel_linear_scan
+
+    rng = np.random.default_rng(0)
+    B, L, C = 2, 64, 8
+    a = jnp.asarray((0.9 + 0.1 * rng.uniform(size=(B, L, C))).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(B, L, C)).astype(np.float32))
+    mesh = make_mesh(("seq",))
+    sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "seq", None))
+    a_s, b_s = jax.device_put(a, sharding), jax.device_put(b, sharding)
+    got = sequence_parallel_linear_scan(a_s, b_s, mesh, "seq", backend="assoc")
+    want = linear_scan(a, b, "assoc")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)

@@ -42,12 +42,23 @@ def _list_images(d: str) -> List[str]:
 
 
 class SODDataset:
-    """Image/mask pair dataset: {root}/{set}/image + {root}/{set}/mask."""
+    """Image/mask pair dataset: {root}/{set}/image + {root}/{set}/mask.
+
+    With ``freq_stats`` set (a FreqStats or a path to a stats pickle), each
+    sample also carries 'high'/'low' 96-channel JPEG-style frequency features
+    at 1/8 resolution (the reference's alternative freq_dataloader path,
+    data/freq_dataloader.py:85-106).
+    """
 
     def __init__(self, root: str, sets: Sequence[str], img_size: int, mode: str = "train",
-                 check_sizes: bool = True):
+                 check_sizes: bool = True, freq_stats=None):
         self.img_size = img_size
         self.mode = mode
+        if isinstance(freq_stats, str):
+            from tramba_tpu.data.freq import FreqStats
+
+            freq_stats = FreqStats.load(freq_stats)
+        self.freq_stats = freq_stats
         self.images: List[str] = []
         self.gts: List[str] = []
         for s in sets:
@@ -80,8 +91,17 @@ class SODDataset:
             "shape": gt.size,  # (W, H), PIL convention — matches reference
         }
         if self.mode == "train":
-            return train_transform(sample, self.img_size, rng or np.random.default_rng())
-        return eval_transform(sample, self.img_size)
+            sample = train_transform(sample, self.img_size, rng or np.random.default_rng())
+        else:
+            sample = eval_transform(sample, self.img_size)
+        if self.freq_stats is not None:
+            from tramba_tpu.data.freq import block_dct_features, freq_decompose
+            from tramba_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+            raw = (sample["image"] * IMAGENET_STD + IMAGENET_MEAN) * 255.0
+            high, low = freq_decompose(block_dct_features(raw))
+            sample["high"], sample["low"] = self.freq_stats.normalize(high, low)
+        return sample
 
 
 class BatchLoader:
@@ -134,6 +154,9 @@ class BatchLoader:
                 "name": [s["name"] for s in samples],
                 "shape": [s["shape"] for s in samples],
             }
+            for key in ("high", "low"):
+                if key in samples[0]:
+                    out[key] = np.stack([s[key] for s in samples])
             return out
 
         def producer():

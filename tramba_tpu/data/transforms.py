@@ -36,6 +36,18 @@ __all__ = [
 
 
 def static_resize(sample: Dict, size: int) -> Dict:
+    try:  # native C++ resize (bit-exact vs PIL — tests/test_native.py)
+        from tramba_tpu.data import native
+
+        if native.available():
+            img = native.resize_bilinear(np.asarray(sample["image"], np.uint8), size)
+            sample["image"] = Image.fromarray(img, "RGB")
+            if "gt" in sample:
+                gt = native.resize_nearest(np.asarray(sample["gt"], np.uint8), size)
+                sample["gt"] = Image.fromarray(gt.astype(np.uint8), "L")
+            return sample
+    except Exception:
+        pass
     sample["image"] = sample["image"].resize((size, size), Image.BILINEAR)
     if "gt" in sample:
         sample["gt"] = sample["gt"].resize((size, size), Image.NEAREST)

@@ -50,6 +50,8 @@ __all__ = [
     "window_tables",
     "spiral_tables",
     "hilbert_tables",
+    "diagonal_tables",
+    "ab_tables",
 ]
 
 
@@ -340,6 +342,14 @@ def get_order(kind: str, H: int, W: int, param: int = 0) -> ScanOrder:
         t = np.concatenate([raster_tables(H, W), spiral_tables(H, W)], axis=0)
     elif kind == "hilbert":
         t = hilbert_tables(H, W)
+    elif kind == "diagonal":
+        t = diagonal_tables(H, W)
+    elif kind == "diagonal8":
+        t = np.concatenate([raster_tables(H, W), diagonal_tables(H, W)], axis=0)
+    elif kind == "ab1":
+        t = ab_tables(H, W, 1)
+    elif kind == "ab2":
+        t = ab_tables(H, W, 2)
     else:
         raise ValueError(f"unknown scan order kind: {kind}")
     return ScanOrder(t)
@@ -617,3 +627,27 @@ def cross_scan(x: jnp.ndarray, kind: str, H: int, W: int, param: int = 0) -> jnp
 def cross_merge(ys: jnp.ndarray, kind: str, H: int, W: int, param: int = 0) -> jnp.ndarray:
     """(B, K, L, D) -> (B, L, D): accumulate K directional sequences back."""
     return _merge_op(ys, kind, (H, W), param)
+
+
+def diagonal_tables(H: int, W: int) -> np.ndarray:
+    """Wrap-around (anti)diagonal orders (csms6s.py:478-528 gathers, K=4).
+
+    Direction 0 walks anti-diagonals with wrap (column index shifts by row),
+    direction 1 the main diagonals; 2/3 are the reverses.
+    """
+    rows = np.repeat(np.arange(H), W).reshape(H, W)
+    cols = np.tile(np.arange(W), H).reshape(H, W)
+    anti = (rows * W + (cols + rows) % W).T.reshape(-1)  # read column-major over shifted cols
+    diag = (rows * W + (cols - rows) % W).T.reshape(-1)
+    return np.stack([anti, diag, anti[::-1], diag[::-1]]).astype(np.int32)
+
+
+def ab_tables(H: int, W: int, ndir: int = 1) -> np.ndarray:
+    """Ablation orders: the same row-major order repeated K=4 times from
+    1 or 2 base directions (csms6s.py:678-737)."""
+    L = H * W
+    k0 = np.arange(L, dtype=np.int32)
+    if ndir == 1:
+        return np.stack([k0, k0, k0, k0])
+    k1 = raster_tables(H, W)[1]
+    return np.stack([k0, k1, k0, k1]).astype(np.int32)

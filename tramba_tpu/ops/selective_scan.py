@@ -103,7 +103,27 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _linear_scan_seq(a, b):
+    """Sequential lax.scan reference (slowest, exact step-by-step order)."""
+
+    def step(h, ab):
+        h = ab[0] * h + ab[1]
+        return h, h
+
+    a_t = jnp.moveaxis(a, -2, 0)
+    b_t = jnp.moveaxis(b, -2, 0)
+    h0 = jnp.zeros_like(a_t[0])
+    _, hs = jax.lax.scan(step, h0, (a_t, b_t))
+    return jnp.moveaxis(hs, 0, -2)
+
+
 def _linear_scan_impl(a, b, backend: Optional[str]):
+    if backend == "seq":
+        return _linear_scan_seq(a, b)
+    if backend == "fake":
+        # debugging stand-in (SelectiveScanFake, selective_scan.py:208-229):
+        # pass-through forward, zero-information recurrence
+        return b
     if backend is None:
         # auto: the Pallas kernel on TPU, XLA associative scan elsewhere
         # (interpret-mode Pallas is orders of magnitude too slow for real use)
