@@ -2,6 +2,8 @@
 
 import argparse
 
+import jax
+
 from tramba_tpu.train.loop import training
 
 if __name__ == "__main__":
@@ -44,4 +46,7 @@ if __name__ == "__main__":
         print(f"{arg: <20}: {getattr(args, arg)}")
     print("=" * 40)
 
+    if args.dtype == "float32":
+        # fp32 parity: TPU matmuls default to bf16 MACs
+        jax.config.update("jax_default_matmul_precision", "highest")
     training(args=args)

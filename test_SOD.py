@@ -3,6 +3,12 @@
 import argparse
 import os
 
+import jax
+
+# fp32 reference parity: TPU matmuls default to bf16 MACs; eval/training in
+# float32 must use full-precision accumulation (MAE budget vs torch is 1e-3)
+jax.config.update("jax_default_matmul_precision", "highest")
+
 from tramba_tpu.eval.dump import dump_saliency_maps
 from tramba_tpu.models.registry import build
 from tramba_tpu.train.checkpoint import load_params_any

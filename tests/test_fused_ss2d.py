@@ -81,3 +81,14 @@ def test_folded_grad_matches_composed():
     gc = jax.grad(lc, argnums=tuple(range(8)))(*args)
     for a, b in zip(gf, gc):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-4)
+
+
+@pytest.mark.parametrize("kind,param,H", [("dilation", 4, 8), ("dilation", 4, 12),
+                                          ("window", 4, 8), ("window", 4, 12)])
+def test_folded_freq_matches_composed(kind, param, H):
+    from tramba_tpu.ops.fused_ss2d import composed_ss2d_full_p, fused_ss2d_freq
+
+    args = _full_inputs(K=4, H=H, W=H)
+    y_f = fused_ss2d_freq(*args, kind, H, H, param)
+    y_c = composed_ss2d_full_p(*args, kind=kind, H=H, W=H, param=param, backend="assoc")
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c), rtol=5e-4, atol=5e-4)

@@ -18,7 +18,12 @@ import numpy as np
 from flax import linen as nn
 
 from tramba_tpu.nn.layers import LayerNorm, conv_kaiming_init, trunc_normal_init
-from tramba_tpu.ops.fused_ss2d import composed_ss2d_core, fused_ss2d_core, fused_ss2d_full
+from tramba_tpu.ops.fused_ss2d import (
+    composed_ss2d_core,
+    fused_ss2d_core,
+    fused_ss2d_freq,
+    fused_ss2d_full,
+)
 from tramba_tpu.ops.scan_orders import cross_merge, cross_scan
 from tramba_tpu.ops.selective_scan import selective_scan
 
@@ -120,18 +125,25 @@ class SS2D(nn.Module):
         on_tpu = jax.default_backend() == "tpu"
         use_folded = (
             N == 1
-            and self.scan_kind in ("raster", "line")
+            and self.scan_kind in ("raster", "line", "dilation", "window")
             and self.backend in (None, "pallas")
             and on_tpu
+            and not (self.scan_kind == "dilation" and L % (self.scan_param or 4) != 0)
         )
         ln_scale, ln_bias = _NormParams(d_inner, name="out_norm")()
         if use_folded:
-            # direction-folded kernels: raster scan/merge live as index maps;
-            # merge + LayerNorm + GELU fused into one pass
-            y = fused_ss2d_full(
-                x.reshape(B, L, d_inner), x_proj_w, dt_w, dt_b, A_logs, Ds,
-                ln_scale, ln_bias, self.scan_kind, H, W,
-            )
+            # direction-folded kernels: scan orders live as index maps /
+            # pre-permuted views; merge + LayerNorm + GELU fused
+            if self.scan_kind in ("raster", "line"):
+                y = fused_ss2d_full(
+                    x.reshape(B, L, d_inner), x_proj_w, dt_w, dt_b, A_logs, Ds,
+                    ln_scale, ln_bias, self.scan_kind, H, W,
+                )
+            else:
+                y = fused_ss2d_freq(
+                    x.reshape(B, L, d_inner), x_proj_w, dt_w, dt_b, A_logs, Ds,
+                    ln_scale, ln_bias, self.scan_kind, H, W, self.scan_param or 4,
+                )
         else:
             xs = cross_scan(x.reshape(B, L, d_inner), self.scan_kind, H, W, self.scan_param)
             if N == 1 and self.backend in (None, "pallas") and on_tpu:

@@ -89,16 +89,19 @@ def _fused_kernel(R, hi, xs_ref, wx_ref, wdt_ref, bias_ref, A_ref, Ds_ref, out_r
     out_ref[0] = y.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("K", "R", "chunk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("K", "R", "chunk", "interpret", "k_major"))
 def _fused_pallas(xs3, wx, wdt, bias, A, Ds, K: int, R: int, chunk: int = 256,
-                  interpret: bool = False):
+                  interpret: bool = False, k_major: bool = False):
     BK, L, D = xs3.shape
     T = min(chunk, L)
     grid = (BK, pl.cdiv(L, T))
     C = wx.shape[1]
+    nB = BK // K
+    # row r of xs3 is (b*K + k) by default, or (k*nB + b) when k_major
+    kidx = (lambda r: r // nB) if k_major else (lambda r: r % K)
     seq_spec = pl.BlockSpec((1, T, D), lambda r, t: (r, t, 0), memory_space=pltpu.VMEM)
     par_spec = lambda *shape: pl.BlockSpec(
-        (1,) + shape, lambda r, t: (r % K,) + (0,) * len(shape), memory_space=pltpu.VMEM
+        (1,) + shape, lambda r, t: (kidx(r),) + (0,) * len(shape), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         functools.partial(_fused_kernel, R, xs3.dtype == jnp.float32),
@@ -437,12 +440,14 @@ def _folded_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
                        Dsf[cols_sel], interpret=interp)
     y_line = None
     if kind == "line":
-        xs_line = _line_scan_fast(x_flat, H, W)  # (B, 4, L, D) MXU one-hot matmuls
+        from tramba_tpu.ops.scan_orders import _line_dirs_list, _line_merge_dirs
+
+        dirs = _line_dirs_list(x_flat, H, W)  # 4 x (B, L, D), MXU one-hot matmuls
         ys_line = _fused_pallas(
-            xs_line.reshape(B * 4, L, D), wx[4:], wdt[4:], bias[4:], A[4:], Dsf[4:],
-            K=4, R=dt_w.shape[-1], interpret=interp,
-        ).reshape(B, 4, L, D)
-        y_line = _line_merge_fast(ys_line, H, W)
+            jnp.concatenate(dirs, axis=0), wx[4:], wdt[4:], bias[4:], A[4:], Dsf[4:],
+            K=4, R=dt_w.shape[-1], interpret=interp, k_major=True,
+        )
+        y_line = _line_merge_dirs([ys_line[i * B : (i + 1) * B] for i in range(4)], H, W)
     return _merge_pallas(y02, y13, y_line, ln_scale, ln_bias, H=H, W=W, interpret=interp)
 
 
@@ -471,3 +476,111 @@ def _full_bwd(kind, H, W, res, g):
 
 
 fused_ss2d_full.defvjp(_full_fwd, _full_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Permuted-sequence folding: dilated and windowed orders (the DFVSS branches)
+# reuse the rows kernel on a pre-permuted view.
+#
+# Key identities (square maps, L % rate == 0):
+#   dilation dir0 = row-major of xp  := phase_major(x)
+#   dilation dir2 = full reverse of dir0            -> rows kernel backward
+#   dilation dir1/dir3 = the same over transpose(x)
+#   window  dir0 = row-major of xw  := window_order(x);  dir1 = full reverse
+#   window  dir2/dir3 = the same over transpose(x)
+# so each order is two rows-kernel calls; outputs come back in permuted-pixel
+# order and one inverse layout pass restores image order.
+# ---------------------------------------------------------------------------
+
+
+def _seq_rows(x_perm, wx, wdt, bias, A, Ds, interp):
+    """rows kernel over a flat (B, L, D) sequence via a 2-D view."""
+    B, L, D = x_perm.shape
+    Wc = 1
+    for w in range(8, min(L, 512) + 1, 8):
+        if L % w == 0 and w * 1 <= _seq_target(D):
+            Wc = w
+    if Wc == 1:
+        Wc = L  # tiny sequences: single row
+    view = x_perm.reshape(B, L // Wc, Wc, D)
+    ys = _rows_pallas(view, wx, wdt, bias, A, Ds, interpret=interp)
+    return ys.reshape(B, 2, L, D)
+
+
+def _folded_freq_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
+                         kind: str, H: int, W: int, param: int):
+    from tramba_tpu.ops import scan_orders as so
+
+    B, L, D = x_flat.shape
+    interp = jax.default_backend() != "tpu"
+    f32 = jnp.float32
+    A = -jnp.exp(A_logs.astype(f32))[..., 0]
+    wx, wdt = x_proj_w.astype(f32), dt_w.astype(f32)
+    bias, Dsf = dt_b.astype(f32), Ds.astype(f32)
+
+    xt = so._t(x_flat, H, W)
+    if kind == "dilation":
+        rate = param or 4
+        xp = so._phase_major(x_flat, rate)
+        xpt = so._phase_major(xt, rate)
+        sel_a, sel_b = jnp.asarray([0, 2]), jnp.asarray([1, 3])
+    else:  # window
+        ws = param
+        xp = so._window_order(x_flat, H, W, ws)
+        xpt = so._window_order(xt, W, H, ws)
+        sel_a, sel_b = jnp.asarray([0, 1]), jnp.asarray([2, 3])
+
+    ys_a = _seq_rows(xp, wx[sel_a], wdt[sel_a], bias[sel_a], A[sel_a], Dsf[sel_a], interp)
+    ys_b = _seq_rows(xpt, wx[sel_b], wdt[sel_b], bias[sel_b], A[sel_b], Dsf[sel_b], interp)
+    sa = (ys_a[:, 0] + ys_a[:, 1]).astype(f32)
+    sb = (ys_b[:, 0] + ys_b[:, 1]).astype(f32)
+    if kind == "dilation":
+        y = so._phase_major_inv(sa, rate) + so._t(so._phase_major_inv(sb, rate), W, H)
+    else:
+        y = so._window_order_inv(sa, H, W, ws) + so._t(so._window_order_inv(sb, W, H, ws), W, H)
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean((y - mean) ** 2, axis=-1, keepdims=True)
+    y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+    y = y * ln_scale.astype(f32) + ln_bias.astype(f32)
+    y = 0.5 * y * (1.0 + jax.lax.erf(y * 0.7071067811865476))
+    return y.astype(x_flat.dtype)
+
+
+def composed_ss2d_full_p(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
+                         kind: str, H: int, W: int, param: int, backend=None):
+    from tramba_tpu.ops.scan_orders import cross_merge, cross_scan
+
+    xs = cross_scan(x_flat, kind, H, W, param)
+    ys = composed_ss2d_core(xs, x_proj_w, dt_w, dt_b, A_logs, Ds, backend=backend)
+    y = cross_merge(ys, kind, H, W, param).astype(jnp.float32)
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean((y - mean) ** 2, axis=-1, keepdims=True)
+    y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+    y = y * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    y = 0.5 * y * (1.0 + jax.lax.erf(y * jnp.float32(0.7071067811865476)))
+    return y.astype(x_flat.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def fused_ss2d_freq(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
+                    kind: str, H: int, W: int, param: int):
+    """Folded SS2D for the DFVSS dilated/windowed orders (K=4)."""
+    return _folded_freq_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale,
+                                ln_bias, kind, H, W, param)
+
+
+def _freq_fwd(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, kind, H, W, param):
+    out = fused_ss2d_freq(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
+                          kind, H, W, param)
+    return out, (x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias)
+
+
+def _freq_bwd(kind, H, W, param, res, g):
+    def oracle(*args):
+        return composed_ss2d_full_p(*args, kind=kind, H=H, W=W, param=param)
+
+    _, vjp = jax.vjp(oracle, *res)
+    return vjp(g)
+
+
+fused_ss2d_freq.defvjp(_freq_fwd, _freq_bwd)

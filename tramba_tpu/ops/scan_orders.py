@@ -651,3 +651,22 @@ def ab_tables(H: int, W: int, ndir: int = 1) -> np.ndarray:
         return np.stack([k0, k0, k0, k0])
     k1 = raster_tables(H, W)[1]
     return np.stack([k0, k1, k0, k1]).astype(np.int32)
+
+
+def _line_dirs_list(x, H, W):
+    """The 4 Bresenham directions as a list of (B, L, D) arrays (no stack)."""
+    ximg = x.reshape(x.shape[0], H, W, x.shape[-1])
+    (P1a, Q2a), (P1b, Q2b) = _line_selectors(H, W)
+    fam0 = _line_family_scan(ximg, jnp.asarray(P1a), jnp.asarray(Q2a))
+    fam1 = _line_family_scan(ximg, jnp.asarray(P1b), jnp.asarray(Q2b))
+    return [fam0, _per_line_flip(fam0, H), fam1, _per_line_flip(fam1, H)]
+
+
+def _line_merge_dirs(ys, H, W):
+    """Merge a list of 4 per-direction (B, L, D) arrays (transpose of scan)."""
+    (P1a, Q2a), (P1b, Q2b) = _line_selectors(H, W)
+    f0 = ys[0] + _per_line_flip(ys[1], H)
+    f1 = ys[2] + _per_line_flip(ys[3], H)
+    y = _line_family_merge(f0, jnp.asarray(P1a), jnp.asarray(Q2a), H, W)
+    y = y + _line_family_merge(f1, jnp.asarray(P1b), jnp.asarray(Q2b), H, W)
+    return y.reshape(ys[0].shape[0], H * W, ys[0].shape[-1])
