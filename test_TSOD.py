@@ -10,8 +10,6 @@ import os
 
 import jax
 
-import jax
-
 # fp32 reference parity: TPU matmuls default to bf16 MACs; eval/training in
 # float32 must use full-precision accumulation (MAE budget vs torch is 1e-3)
 jax.config.update("jax_default_matmul_precision", "highest")
