@@ -93,7 +93,15 @@ class TrambaDecoder(nn.Module):
                         name=f"stage_{s}_block_{d}",
                     )(x, deterministic)
             else:
-                x = FinalPatchExpandX4(dtype=self.dtype, name=f"expand_{s}")(x)
+                # final stage: run LN + the 1-channel head on the coarse grid
+                # (exactly equivalent; avoids shuffling the 16x-wide tensor)
+                Bx, h, w, dim = x.shape
+                x5 = FinalPatchExpandX4(dtype=self.dtype, name=f"expand_{s}")(x, pre_shuffle=True)
+                seg5 = nn.Conv(1, (1, 1), kernel_init=conv_kaiming_init, dtype=self.dtype,
+                               name=f"seg_{s}")(x5.reshape(Bx, h, w * 16, dim))
+                seg5 = seg5.reshape(Bx, h, w, 4, 4, 1).transpose(0, 1, 3, 2, 4, 5)
+                seg_outputs.append(seg5.reshape(Bx, 4 * h, 4 * w, 1))
+                continue
             if self.deep_supervision or s == n_stages - 1:
                 seg = nn.Conv(1, (1, 1), kernel_init=conv_kaiming_init, dtype=self.dtype,
                               name=f"seg_{s}")(x)

@@ -150,14 +150,24 @@ class PatchExpand(nn.Module):
 
 
 class FinalPatchExpandX4(nn.Module):
-    """x4 upsample: Dense(dim->16dim) + pixel shuffle + LN (modules.py:224-274)."""
+    """x4 upsample: Dense(dim->16dim) + pixel shuffle + LN (modules.py:224-274).
+
+    ``pre_shuffle=True`` returns the LN'd (B, h, w, 16, dim) tensor *before*
+    the spatial shuffle — exactly equivalent per pixel (the shuffle is a
+    permutation and LN acts per pixel), letting per-pixel heads run on the
+    16x smaller coarse grid before upsampling their 1-channel output.
+    """
 
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pre_shuffle: bool = False):
         dim = x.shape[-1]
         x = nn.Dense(16 * dim, use_bias=False, kernel_init=trunc_normal_init, dtype=self.dtype, name="expand")(x)
+        if pre_shuffle:
+            B, h, w, C = x.shape
+            x = x.reshape(B, h, w, 16, dim)
+            return LayerNorm(dtype=self.dtype, name="norm")(x)
         x = pixel_shuffle(x, 4)
         x = LayerNorm(dtype=self.dtype, name="norm")(x)
         return x
