@@ -135,7 +135,7 @@ def _ref_modules():
     return sl, dil, win
 
 
-@pytest.mark.parametrize("H", [6, 8, 12, 24])
+@pytest.mark.parametrize("H", [6, 8, 12, 24, 48, 96])
 def test_line_tables_match_reference(H):
     sl, _, _ = _ref_modules()
     ref = sl.generate_indices(H, H)
@@ -144,7 +144,7 @@ def test_line_tables_match_reference(H):
         np.testing.assert_array_equal(so.line_tables(H, H)[k], flat)
 
 
-@pytest.mark.parametrize("H,rate", [(8, 4), (12, 4), (12, 3)])
+@pytest.mark.parametrize("H,rate", [(8, 4), (12, 4), (12, 3), (48, 4), (96, 4)])
 def test_dilation_tables_match_reference(H, rate):
     _, dil, _ = _ref_modules()
     ref = dil.generate_dilation_indices(H, H, dilation_rate=rate)
@@ -154,7 +154,7 @@ def test_dilation_tables_match_reference(H, rate):
         np.testing.assert_array_equal(ours[k], flat)
 
 
-@pytest.mark.parametrize("H,ws", [(8, 4), (12, 4), (24, 8)])
+@pytest.mark.parametrize("H,ws", [(8, 4), (12, 4), (24, 8), (48, 12), (96, 16)])
 def test_window_tables_match_reference(H, ws):
     _, _, win = _ref_modules()
     ref = win.generate_window_indices(H, H, window_size=ws)

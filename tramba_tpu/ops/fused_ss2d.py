@@ -422,7 +422,7 @@ def composed_ss2d_full(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bi
 
 def _folded_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
                     kind: str, H: int, W: int):
-    from tramba_tpu.ops.scan_orders import _line_merge_fast, _line_scan_fast
+
 
     B, L, D = x_flat.shape
     ximg = x_flat.reshape(B, H, W, D)
