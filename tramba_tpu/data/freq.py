@@ -12,7 +12,7 @@ no torch_dct dependency.
 from __future__ import annotations
 
 import pickle
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

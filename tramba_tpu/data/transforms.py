@@ -13,7 +13,7 @@ pipeline is reproducible from a single seed.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import numpy as np
 from PIL import Image, ImageEnhance, ImageOps

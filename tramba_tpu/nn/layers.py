@@ -9,7 +9,7 @@ layout XLA:TPU prefers for convs and matmuls.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

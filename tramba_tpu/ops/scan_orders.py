@@ -33,8 +33,6 @@ the layout TPUs copy efficiently.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

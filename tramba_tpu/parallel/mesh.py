@@ -8,7 +8,7 @@ compiler-inserted psums for gradients.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import numpy as np

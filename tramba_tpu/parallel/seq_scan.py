@@ -17,12 +17,11 @@ cumulative product of a.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from tramba_tpu.ops.selective_scan import linear_scan
 

@@ -13,8 +13,6 @@ import datetime
 import json
 import os
 import time
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -10,7 +10,7 @@ FLOPs and ``jax.profiler`` provides device traces.
 from __future__ import annotations
 
 import time
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
