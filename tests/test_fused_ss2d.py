@@ -52,7 +52,8 @@ def _full_inputs(B=2, K=4, H=8, W=8, D=16, R=3, seed=2):
     Ds = rng.normal(size=(K, D)).astype(np.float32)
     scale = rng.normal(size=(D,)).astype(np.float32) * 0.1 + 1
     lb = rng.normal(size=(D,)).astype(np.float32) * 0.1
-    return [jnp.asarray(a) for a in (x, wx, wdt, bias, A_logs, Ds, scale, lb)]
+    w_out = (rng.normal(size=(D, D // 2)) * 0.2).astype(np.float32)
+    return [jnp.asarray(a) for a in (x, wx, wdt, bias, A_logs, Ds, scale, lb, w_out)]
 
 
 @pytest.mark.parametrize("kind,K,H", [("raster", 4, 8), ("raster", 4, 12), ("line", 8, 8),
@@ -77,8 +78,8 @@ def test_folded_grad_matches_composed():
     def lc(*a):
         return jnp.sum(jnp.tanh(composed_ss2d_full(*a, kind="raster", H=8, W=8, backend="assoc")))
 
-    gf = jax.grad(lf, argnums=tuple(range(8)))(*args)
-    gc = jax.grad(lc, argnums=tuple(range(8)))(*args)
+    gf = jax.grad(lf, argnums=tuple(range(9)))(*args)
+    gc = jax.grad(lc, argnums=tuple(range(9)))(*args)
     for a, b in zip(gf, gc):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-4)
 

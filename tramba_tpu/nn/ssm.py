@@ -43,6 +43,20 @@ class _NormParams(nn.Module):
             self.param("bias", nn.initializers.zeros, (self.features,)),
         )
 
+
+class _DenseParams(nn.Module):
+    """Bare Dense kernel — applied inside fused kernels.
+
+    Named 'out_proj' in SS2D so the checkpoint tree matches nn.Dense's.
+    """
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", trunc_normal_init, (self.in_features, self.out_features))
+
 __all__ = ["SS2D"]
 
 
@@ -128,21 +142,23 @@ class SS2D(nn.Module):
             and self.scan_kind in ("raster", "line", "dilation", "window")
             and self.backend in (None, "pallas")
             and on_tpu
+            and not self.bias  # out_proj bias would need a kernel variant (never used)
             and not (self.scan_kind == "dilation" and L % (self.scan_param or 4) != 0)
         )
         ln_scale, ln_bias = _NormParams(d_inner, name="out_norm")()
+        w_out = _DenseParams(d_inner, self.d_model, name="out_proj")()
         if use_folded:
             # direction-folded kernels: scan orders live as index maps /
-            # pre-permuted views; merge + LayerNorm + GELU fused
+            # pre-permuted views; merge + LayerNorm + GELU + out proj fused
             if self.scan_kind in ("raster", "line"):
                 y = fused_ss2d_full(
                     x.reshape(B, L, d_inner), x_proj_w, dt_w, dt_b, A_logs, Ds,
-                    ln_scale, ln_bias, self.scan_kind, H, W,
+                    ln_scale, ln_bias, w_out, self.scan_kind, H, W,
                 )
             else:
                 y = fused_ss2d_freq(
                     x.reshape(B, L, d_inner), x_proj_w, dt_w, dt_b, A_logs, Ds,
-                    ln_scale, ln_bias, self.scan_kind, H, W, self.scan_param or 4,
+                    ln_scale, ln_bias, w_out, self.scan_kind, H, W, self.scan_param or 4,
                 )
         else:
             xs = cross_scan(x.reshape(B, L, d_inner), self.scan_kind, H, W, self.scan_param)
@@ -164,7 +180,7 @@ class SS2D(nn.Module):
             yf = (yf - mean) * jax.lax.rsqrt(var + 1e-5)
             yf = yf * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
             y = nn.gelu(yf, approximate=False).astype(self.dtype)
-        y = nn.Dense(
-            self.d_model, use_bias=self.bias, kernel_init=trunc_normal_init, dtype=self.dtype, name="out_proj"
-        )(y)
+            y = (y @ w_out.astype(self.dtype)).astype(self.dtype)
+            if self.bias:
+                y = y + self.param("out_proj_bias", nn.initializers.zeros, (self.d_model,))
         return y.reshape(B, H, W, self.d_model)

@@ -341,11 +341,11 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _merge_kernel(eps, has_line, *refs):
+def _merge_kernel(eps, has_line, hi, *refs):
     if has_line:
-        y02_ref, y13_ref, yline_ref, scale_ref, bias_ref, out_ref = refs
+        y02_ref, y13_ref, yline_ref, scale_ref, bias_ref, wout_ref, out_ref = refs
     else:
-        y02_ref, y13_ref, scale_ref, bias_ref, out_ref = refs
+        y02_ref, y13_ref, scale_ref, bias_ref, wout_ref, out_ref = refs
         yline_ref = None
     s02 = (y02_ref[0, 0, 0] + y02_ref[0, 1, 0]).astype(jnp.float32)  # (Tr, W, D)
     Tr, W, D = s02.shape
@@ -360,18 +360,26 @@ def _merge_kernel(eps, has_line, *refs):
     y = (y - mean) * jax.lax.rsqrt(var + eps)
     y = y * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
     y = 0.5 * y * (1.0 + _erf(y * jnp.float32(0.7071067811865476)))  # exact GELU
+    # out projection on the MXU (the Dense that followed the merge)
+    prec = jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT
+    y = jax.lax.dot_general(y, wout_ref[...].astype(jnp.float32),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32, precision=prec)
     out_ref[0] = y.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
-def _merge_pallas(y02, y13, y_line, scale, bias, H: int, W: int, interpret=False):
+def _merge_pallas(y02, y13, y_line, scale, bias, w_out, H: int, W: int, interpret=False):
     """y02: (B, 2, nTr, Tr, W, D) pixel-row chunks; y13: (B, 2, nTc, H, Tc, D).
 
     Sums the four direction outputs (+ optional pre-merged line directions),
-    then LayerNorm (eps 1e-5) + exact GELU, emitting (B, L, D).
+    then LayerNorm (eps 1e-5) + exact GELU + the (D, d_model) out projection,
+    emitting (B, L, d_model) — the wide pre-projection tensor never returns
+    to HBM.
     """
     B = y02.shape[0]
     D = y02.shape[-1]
+    dm = w_out.shape[-1]
     L = H * W
     nTr, Tr = y02.shape[2], y02.shape[3]
     nTc, Tc = y13.shape[2], y13.shape[4]
@@ -390,37 +398,45 @@ def _merge_pallas(y02, y13, y_line, scale, bias, H: int, W: int, interpret=False
     in_specs += [
         pl.BlockSpec((1, D), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, D), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, dm), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
     ]
-    args += [scale[None, :].astype(jnp.float32), bias[None, :].astype(jnp.float32)]
+    args += [scale[None, :].astype(jnp.float32), bias[None, :].astype(jnp.float32), w_out]
+    hi = bool(y02.dtype == jnp.float32)
     return pl.pallas_call(
-        functools.partial(_merge_kernel, 1e-5, has_line),
-        out_shape=jax.ShapeDtypeStruct((B, L, D), y02.dtype),
+        functools.partial(_merge_kernel, 1e-5, has_line, hi),
+        out_shape=jax.ShapeDtypeStruct((B, L, dm), y02.dtype),
         grid=(B, nTr),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, Tr * W, D), lambda b, t: (b, t, 0),
+        out_specs=pl.BlockSpec((1, Tr * W, dm), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*args)
 
 
-def composed_ss2d_full(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
-                       kind: str, H: int, W: int, backend=None):
-    """Composed oracle for the direction-folded path: cross-scan -> per-dir
-    core -> cross-merge -> LayerNorm -> exact GELU.  (B, L, D) -> (B, L, D)."""
-    from tramba_tpu.ops.scan_orders import cross_merge, cross_scan
-
-    xs = cross_scan(x_flat, kind, H, W, 0)
-    ys = composed_ss2d_core(xs, x_proj_w, dt_w, dt_b, A_logs, Ds, backend=backend)
-    y = cross_merge(ys, kind, H, W, 0).astype(jnp.float32)
+def _ln_gelu_proj(y, ln_scale, ln_bias, w_out, dtype):
+    y = y.astype(jnp.float32)
     mean = jnp.mean(y, axis=-1, keepdims=True)
     var = jnp.mean((y - mean) ** 2, axis=-1, keepdims=True)
     y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
     y = y * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
     y = 0.5 * y * (1.0 + jax.lax.erf(y / jnp.sqrt(2.0).astype(jnp.float32)))
-    return y.astype(x_flat.dtype)
+    y = y @ w_out.astype(jnp.float32)
+    return y.astype(dtype)
 
 
-def _folded_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
+def composed_ss2d_full(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out,
+                       kind: str, H: int, W: int, backend=None):
+    """Composed oracle for the direction-folded path: cross-scan -> per-dir
+    core -> cross-merge -> LayerNorm -> exact GELU -> out projection."""
+    from tramba_tpu.ops.scan_orders import cross_merge, cross_scan
+
+    xs = cross_scan(x_flat, kind, H, W, 0)
+    ys = composed_ss2d_core(xs, x_proj_w, dt_w, dt_b, A_logs, Ds, backend=backend)
+    y = cross_merge(ys, kind, H, W, 0)
+    return _ln_gelu_proj(y, ln_scale, ln_bias, w_out, x_flat.dtype)
+
+
+def _folded_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out,
                     kind: str, H: int, W: int):
 
 
@@ -448,23 +464,24 @@ def _folded_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
             K=4, R=dt_w.shape[-1], interpret=interp, k_major=True,
         )
         y_line = _line_merge_dirs([ys_line[i * B : (i + 1) * B] for i in range(4)], H, W)
-    return _merge_pallas(y02, y13, y_line, ln_scale, ln_bias, H=H, W=W, interpret=interp)
+    return _merge_pallas(y02, y13, y_line, ln_scale, ln_bias, w_out, H=H, W=W,
+                         interpret=interp)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def fused_ss2d_full(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def fused_ss2d_full(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out,
                     kind: str, H: int, W: int):
     """Direction-folded fused SS2D: raster cross-scan/merge live only as
-    kernel index maps; merge + LayerNorm + GELU fused.  Forward-optimal;
-    backward delegates to the composed path's VJP."""
+    kernel index maps; merge + LayerNorm + GELU + out projection fused.
+    Forward-optimal; backward delegates to the composed path's VJP."""
     return _folded_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
-                           kind, H, W)
+                           w_out, kind, H, W)
 
 
-def _full_fwd(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, kind, H, W):
+def _full_fwd(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out, kind, H, W):
     out = fused_ss2d_full(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
-                          kind, H, W)
-    return out, (x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias)
+                          w_out, kind, H, W)
+    return out, (x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out)
 
 
 def _full_bwd(kind, H, W, res, g):
@@ -507,7 +524,7 @@ def _seq_rows(x_perm, wx, wdt, bias, A, Ds, interp):
     return ys.reshape(B, 2, L, D)
 
 
-def _folded_freq_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
+def _folded_freq_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out,
                          kind: str, H: int, W: int, param: int):
     from tramba_tpu.ops import scan_orders as so
 
@@ -538,41 +555,32 @@ def _folded_freq_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_
         y = so._phase_major_inv(sa, rate) + so._t(so._phase_major_inv(sb, rate), W, H)
     else:
         y = so._window_order_inv(sa, H, W, ws) + so._t(so._window_order_inv(sb, W, H, ws), W, H)
-    mean = jnp.mean(y, axis=-1, keepdims=True)
-    var = jnp.mean((y - mean) ** 2, axis=-1, keepdims=True)
-    y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
-    y = y * ln_scale.astype(f32) + ln_bias.astype(f32)
-    y = 0.5 * y * (1.0 + jax.lax.erf(y * 0.7071067811865476))
-    return y.astype(x_flat.dtype)
+    return _ln_gelu_proj(y, ln_scale, ln_bias, w_out, x_flat.dtype)
 
 
-def composed_ss2d_full_p(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
+def composed_ss2d_full_p(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out,
                          kind: str, H: int, W: int, param: int, backend=None):
     from tramba_tpu.ops.scan_orders import cross_merge, cross_scan
 
     xs = cross_scan(x_flat, kind, H, W, param)
     ys = composed_ss2d_core(xs, x_proj_w, dt_w, dt_b, A_logs, Ds, backend=backend)
-    y = cross_merge(ys, kind, H, W, param).astype(jnp.float32)
-    mean = jnp.mean(y, axis=-1, keepdims=True)
-    var = jnp.mean((y - mean) ** 2, axis=-1, keepdims=True)
-    y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
-    y = y * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
-    y = 0.5 * y * (1.0 + jax.lax.erf(y * jnp.float32(0.7071067811865476)))
-    return y.astype(x_flat.dtype)
+    y = cross_merge(ys, kind, H, W, param)
+    return _ln_gelu_proj(y, ln_scale, ln_bias, w_out, x_flat.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
-def fused_ss2d_freq(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def fused_ss2d_freq(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out,
                     kind: str, H: int, W: int, param: int):
     """Folded SS2D for the DFVSS dilated/windowed orders (K=4)."""
     return _folded_freq_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale,
-                                ln_bias, kind, H, W, param)
+                                ln_bias, w_out, kind, H, W, param)
 
 
-def _freq_fwd(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, kind, H, W, param):
+def _freq_fwd(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out,
+              kind, H, W, param):
     out = fused_ss2d_freq(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
-                          kind, H, W, param)
-    return out, (x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias)
+                          w_out, kind, H, W, param)
+    return out, (x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out)
 
 
 def _freq_bwd(kind, H, W, param, res, g):
