@@ -28,6 +28,8 @@ if __name__ == "__main__":
                         help="checkpoint path(s): Orbax dir or torch .pth")
     parser.add_argument("--save_root", default="./results", type=str)
     parser.add_argument("--batch_size", default=8, type=int)
+    parser.add_argument("--measure_fps", action="store_true",
+                        help="run the 200-iter FPS harness (test_TSOD.py:71-108)")
     args = parser.parse_args()
 
     for path in args.ckpt:
@@ -38,3 +40,11 @@ if __name__ == "__main__":
         n = dump_saliency_maps(model, variables, args.data_root, save_path,
                                img_size=args.img_size, batch_size=args.batch_size)
         print(f"wrote {n} maps to {save_path}")
+        if args.measure_fps:
+            import jax.numpy as jnp
+
+            from tramba_tpu.utils.profiling import measure_inference_speed
+
+            x = jnp.zeros((1, args.img_size, args.img_size, 3), jnp.float32)
+            fwd = jax.jit(lambda a: model.apply(variables, a)[-1])
+            measure_inference_speed(fwd, (x,), batch=1)
