@@ -10,6 +10,7 @@ PR curves, print the results row (evaluate_TSOD.py:51-115 semantics).
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional, Sequence
 
@@ -33,9 +34,13 @@ def dump_saliency_maps(model, variables, data_root: str, save_path: str, img_siz
     loader = BatchLoader(ds, batch_size=batch_size, shuffle=False)
 
     @jax.jit
-    def infer(images):
-        outs = model.apply(variables, images, deterministic=True)
+    def infer(v, images):
+        # params passed as arguments (closing over them would embed hundreds
+        # of MB of constants into the compiled program)
+        outs = model.apply(v, images, deterministic=True)
         return outs[-1][..., 0].astype(jnp.float32)
+
+    infer = functools.partial(infer, variables)
 
     count = 0
     for batch in loader:

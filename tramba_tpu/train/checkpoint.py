@@ -34,7 +34,9 @@ def _ckptr():
 
 
 def save_params(path: str, params: Any):
-    _ckptr().save(os.path.abspath(path), jax.tree.map(np.asarray, params), force=True)
+    c = _ckptr()
+    c.save(os.path.abspath(path), jax.tree.map(np.asarray, params), force=True)
+    c.wait_until_finished()
 
 
 def load_params(path: str, like: Optional[Any] = None) -> Any:
@@ -51,7 +53,9 @@ def save_resume(path: str, state, epoch: int):
         "step": state.step,
         "epoch": np.asarray(epoch),
     }
-    _ckptr().save(os.path.abspath(path), jax.tree.map(np.asarray, payload), force=True)
+    c = _ckptr()
+    c.save(os.path.abspath(path), jax.tree.map(np.asarray, payload), force=True)
+    c.wait_until_finished()
 
 
 def load_resume(path: str, state) -> Tuple[Any, int]:
