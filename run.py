@@ -1,10 +1,40 @@
 """Training CLI — same flags and method strings as the reference run.py."""
 
 import argparse
+import os
 
 import jax
 
 from tramba_tpu.train.loop import training
+from tramba_tpu.utils.cache import enable_compilation_cache
+
+# per-method pretrained encoder checkpoints (Trambav6_enc.py:176-200,
+# Trambav6.py:161-166; filenames as released upstream)
+_PRETRAINED_BY_VARIANT = {
+    "V": "vssm_base_0229_ckpt_epoch_237.pth",
+    "S": "swin_base_patch4_window12_384_22k.pth",
+    "P": "pvt_v2_b4.pth",
+    "R": "resnet50.pth",
+    "BaseUMamba": "vssm_base_0229_ckpt_epoch_237.pth",
+}
+
+
+def resolve_pretrained(args) -> None:
+    """'auto' -> the method's released encoder checkpoint under
+    --pretrained_model; missing default file degrades to a loud warning
+    (an explicit --pretrained_path that fails to load is fatal instead)."""
+    if args.pretrained_path != "auto":
+        return
+    variant = "BaseUMamba" if args.method.startswith("BaseUMamba") else args.method.split("-")[1]
+    path = os.path.join(args.pretrained_model, _PRETRAINED_BY_VARIANT[variant])
+    if os.path.exists(path):
+        args.pretrained_path = path
+    else:
+        print(f"WARNING: default pretrained encoder {path} not found; "
+              "training will start from a RANDOM encoder (pass --pretrained_path "
+              "to point at the checkpoint)")
+        args.pretrained_path = None
+        args.allow_random_init = True
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
@@ -23,8 +53,10 @@ if __name__ == "__main__":
     parser.add_argument("--batch_size", default=4, type=int)
     parser.add_argument("--save_model", default="./results", type=str)
     parser.add_argument("--tf_log_path", default="./tf-logs", type=str)
-    parser.add_argument("--pretrained_path", default="./pretrained_model/vssm_base_0229_ckpt_epoch_237.pth",
-                        type=str)
+    parser.add_argument("--pretrained_path", default="auto", type=str,
+                        help="encoder checkpoint; 'auto' picks the method's released file")
+    parser.add_argument("--allow_random_init", action="store_true",
+                        help="tolerate a failing pretrained-encoder load (default: fatal)")
     parser.add_argument("--resume", default=None, type=str)
 
     parser.add_argument("--see", default=40, type=int)
@@ -39,6 +71,8 @@ if __name__ == "__main__":
 
     args = parser.parse_args()
     assert args.method is not None
+    resolve_pretrained(args)
+    enable_compilation_cache()
 
     print("\nArguments:")
     print("=" * 40)

@@ -27,6 +27,10 @@ ORDERS = [
     ("spiral", 0, 4),
     ("spiral8", 0, 8),
     ("hilbert", 0, 4),
+    ("diagonal", 0, 4),
+    ("diagonal8", 0, 8),
+    ("ab1", 0, 4),
+    ("ab2", 0, 4),
 ]
 
 
@@ -60,7 +64,8 @@ def test_merge_matches_scatter_add(kind, param, K, H, W):
 
 
 @pytest.mark.parametrize(
-    "kind,param", [("raster", 0), ("dilation", 4), ("window", 2), ("spiral", 0), ("hilbert", 0)]
+    "kind,param", [("raster", 0), ("dilation", 4), ("window", 2), ("spiral", 0), ("hilbert", 0),
+                   ("diagonal", 0), ("ab1", 0), ("ab2", 0)]
 )
 @pytest.mark.parametrize("H,W", SIZES)
 def test_permutation_round_trip(kind, param, H, W):
@@ -152,6 +157,31 @@ def test_dilation_tables_match_reference(H, rate):
     for k in range(4):
         flat = (ref[k][:, 0] * H + ref[k][:, 1]).numpy()
         np.testing.assert_array_equal(ours[k], flat)
+
+
+@pytest.mark.parametrize("H", [6, 8, 12, 24, 96])
+def test_diagonal_tables_match_reference(H):
+    """diagonal_tables dir0/dir1 == the reference's wrap-diagonal gathers
+    (csms6s.py:478-497), dir2/dir3 their reverses."""
+    _ref_modules()  # installs the CPU .cuda shim + sys.path
+    import importlib
+
+    import torch
+
+    cs = importlib.import_module("Models.SS2D.csms6s")
+    x = torch.arange(H * H, dtype=torch.int64).view(1, 1, H, H)
+    ref_diag = cs.diagonal_gather(x).view(-1).numpy()  # (h+w)%W walk
+    ref_anti = cs.antidiagonal_gather(x).view(-1).numpy()  # (w-h)%W walk
+    ours = so.diagonal_tables(H, H)
+    np.testing.assert_array_equal(ours[0], ref_diag)
+    np.testing.assert_array_equal(ours[1], ref_anti)
+    np.testing.assert_array_equal(ours[2], ref_diag[::-1])
+    np.testing.assert_array_equal(ours[3], ref_anti[::-1])
+
+    # scatter is the exact inverse (csms6s.py:500-528)
+    seq = torch.as_tensor(ref_diag).view(1, 1, -1).to(torch.float32)
+    back = cs.diagonal_scatter(seq, (1, 1, H, H)).view(-1).numpy()
+    np.testing.assert_array_equal(back, np.arange(H * H))
 
 
 @pytest.mark.parametrize("H,ws", [(8, 4), (12, 4), (24, 8), (48, 12), (96, 16)])

@@ -13,6 +13,7 @@ import os
 import queue
 import re
 import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence
 
@@ -160,13 +161,40 @@ class BatchLoader:
             return out
 
         def producer():
-            with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
-                futures = [pool.submit(load_batch, bi, b) for bi, b in enumerate(batches)]
-                for f in futures:
-                    if stop.is_set():
-                        break
-                    q.put(f.result())
-            q.put(None)
+            # Rolling submission window: at most prefetch + num_threads batches
+            # are decoded-but-undelivered at any time, and each Future reference
+            # is dropped after hand-off so completed batches are collectable.
+            # Abandoning the iterator (stop set) halts further submissions.
+            window = self.prefetch + self.num_threads
+
+            def put_interruptible(item):
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        return
+                    except queue.Full:
+                        continue
+
+            pending = deque()
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+                    it = enumerate(batches)
+                    exhausted = False
+                    while not stop.is_set():
+                        while not exhausted and len(pending) < window:
+                            nxt = next(it, None)
+                            if nxt is None:
+                                exhausted = True
+                                break
+                            pending.append(pool.submit(load_batch, nxt[0], nxt[1]))
+                        if not pending:
+                            break
+                        put_interruptible(pending.popleft().result())
+                    for f in pending:
+                        f.cancel()
+                put_interruptible(None)
+            except BaseException as e:  # surface decode errors to the consumer
+                put_interruptible(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -175,6 +203,8 @@ class BatchLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

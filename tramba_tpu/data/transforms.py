@@ -54,23 +54,31 @@ def static_resize(sample: Dict, size: int) -> Dict:
     return sample
 
 
+def _center_crop(im: Image.Image, out_w: int, out_h: int) -> Image.Image:
+    """Centered crop to (out_w, out_h); zero-pads first if the image is smaller.
+
+    Note floor((W - out_w)/2) + out_w == floor((W + out_w)/2), so offset + size
+    reproduces the usual symmetric-crop box exactly for odd differences too.
+    """
+    x0 = (im.size[0] - out_w) // 2
+    y0 = (im.size[1] - out_h) // 2
+    pad = max(0, -min(x0, y0))
+    if pad:
+        im = ImageOps.expand(im, border=pad)
+    return im.crop((x0 + pad, y0 + pad, x0 + pad + out_w, y0 + pad + out_h))
+
+
 def random_scale_crop(sample: Dict, rng: np.random.Generator, lo=0.75, hi=1.25) -> Dict:
+    """Random zoom in/out, then center-crop back to the original size."""
     scale = rng.random() * (hi - lo) + lo
     if rng.random() < 0.5:
         for key in ("image", "gt"):
             if key not in sample:
                 continue
             im = sample[key]
-            base = im.size
-            new = tuple((np.array(base) * scale).round().astype(int))
-            im = im.resize(new)
-            lf = (im.size[0] - base[0]) // 2
-            up = (im.size[1] - base[1]) // 2
-            rg = (im.size[0] + base[0]) // 2
-            lw = (im.size[1] + base[1]) // 2
-            border = -min(0, min(lf, up))
-            im = ImageOps.expand(im, border=border)
-            sample[key] = im.crop((lf + border, up + border, rg + border, lw + border))
+            w0, h0 = im.size
+            zoomed = im.resize((int(round(w0 * scale)), int(round(h0 * scale))))
+            sample[key] = _center_crop(zoomed, w0, h0)
     return sample
 
 
@@ -90,23 +98,15 @@ def random_flip(sample: Dict, rng: np.random.Generator, lr=True, ud=False) -> Di
 
 
 def random_rotate(sample: Dict, rng: np.random.Generator, lo=-10, hi=10) -> Dict:
-    rot = int(rng.integers(lo, hi))
-    rot = rot + 360 if rot < 0 else rot
+    """Small random rotation (expand), center-cropped back to original size."""
+    deg = int(rng.integers(lo, hi)) % 360
     if rng.random() < 0.5:
         for key in ("image", "gt"):
             if key not in sample:
                 continue
             im = sample[key]
-            base = im.size
-            im = im.rotate(rot, expand=True)
-            sample[key] = im.crop(
-                (
-                    (im.size[0] - base[0]) // 2,
-                    (im.size[1] - base[1]) // 2,
-                    (im.size[0] + base[0]) // 2,
-                    (im.size[1] + base[1]) // 2,
-                )
-            )
+            w0, h0 = im.size
+            sample[key] = _center_crop(im.rotate(deg, expand=True), w0, h0)
     return sample
 
 

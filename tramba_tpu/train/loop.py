@@ -35,25 +35,85 @@ def _pad_batch(arr: np.ndarray, batch: int) -> np.ndarray:
     return np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
 
 
+def _graft_strict(dst: dict, src: dict, path: str = ""):
+    """Recursively overwrite dst leaves with src leaves; every src leaf must
+    exist in dst with a matching shape (contrast the reference's silent
+    ``{k: v for k in state_dict}`` filter, Trambav6_enc.py:177/187/198)."""
+    for k, v in src.items():
+        here = f"{path}/{k}"
+        if k not in dst:
+            raise KeyError(f"pretrained graft: no target parameter at {here}")
+        if isinstance(v, dict):
+            if not isinstance(dst[k], dict):
+                raise KeyError(f"pretrained graft: {here} is a leaf in the model")
+            _graft_strict(dst[k], v, here)
+        else:
+            have = np.shape(dst[k])
+            want = np.shape(v)
+            if have != want:
+                raise ValueError(f"pretrained graft: shape mismatch at {here}: "
+                                 f"model {have} vs checkpoint {want}")
+            dst[k] = jnp.asarray(v, dtype=jnp.asarray(dst[k]).dtype)
+
+
+def _pretrained_encoder_variables(method: str, sd) -> dict:
+    """Checkpoint state_dict -> {collection: {module_name: subtree}} to graft.
+
+    Mirrors the reference's encoder-pretraining protocol
+    (Trambav6_enc.py:176-200, Trambav6.py:161-166): VMamba ckpt for
+    Tramba-V/BaseUMamba, Swin-B 384 22k for -S, PVTv2-b4 for -P, torchvision
+    ResNet-50 for -R.
+    """
+    from tramba_tpu.compat import torch_weights as tw
+
+    if isinstance(sd, dict) and "model" in sd:
+        sd = sd["model"]
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    variant = method.split("-")[1] if method.startswith("Tramba-") else "V"
+    if variant in ("V",) or method.startswith("BaseUMamba"):
+        return {"params": {"vssm_encoder": tw.convert_vmamba_encoder_pretrained(sd)}}
+    npsd = tw.state_dict_to_numpy(sd)
+    if variant == "S":
+        return {"params": {"encoder": tw.convert_swin_encoder(npsd, depths=(2, 2, 18, 2))}}
+    if variant == "P":
+        return {"params": {"encoder": tw.convert_pvt_encoder(npsd, depths=(3, 8, 27, 3))}}
+    if variant == "R":
+        params, stats = tw.convert_resnet_encoder(npsd)
+        return {"params": {"encoder": params}, "batch_stats": {"encoder": stats}}
+    raise ValueError(f"no pretrained-encoder protocol for method {method}")
+
+
 def init_model(args, model):
-    """Initialize variables; optionally graft a pretrained encoder."""
+    """Initialize variables; graft the method's pretrained encoder.
+
+    A configured-but-unloadable checkpoint is a hard error (an 80-epoch run
+    from a silently random encoder is never what was asked for); pass
+    ``--allow_random_init`` to override.  A missing ``pretrained_path`` only
+    warns, since eval flows load full model weights afterwards.
+    """
     x = jnp.zeros((1, args.img_size, args.img_size, 3), jnp.float32)
     variables = jax.jit(lambda k: model.init(k, x))(jax.random.key(0))
     pre = getattr(args, "pretrained_path", None)
-    if pre and os.path.exists(pre) and args.method.split("-")[0] in ("Tramba", "BaseUMamba"):
-        try:
-            from flax.core import unfreeze
+    if not pre:
+        return variables
+    allow_random = bool(getattr(args, "allow_random_init", False))
+    try:
+        from flax.core import unfreeze
 
-            from tramba_tpu.compat import torch_weights as tw
-
-            sd = ckpt.load_torch_file(pre)
-            variables = unfreeze(variables)
-            if args.method.startswith(("Tramba-V", "BaseUMamba")) and isinstance(sd, dict) and "model" in sd:
-                enc = tw.convert_vmamba_encoder_pretrained(sd["model"])
-                variables["params"]["vssm_encoder"].update(enc)
-                print(f"Loaded VMamba pretrained encoder from {pre}")
-        except Exception as e:  # pretraining is optional; random init still trains
-            print(f"WARNING: could not load pretrained encoder ({e}); using random init")
+        sd = ckpt.load_torch_file(pre)
+        variables = unfreeze(variables)
+        graft = _pretrained_encoder_variables(args.method, sd)
+        for collection, tree in graft.items():
+            _graft_strict(variables[collection], tree)
+        print(f"Loaded pretrained encoder for {args.method} from {pre}")
+    except Exception as e:
+        if not allow_random:
+            raise RuntimeError(
+                f"failed to load pretrained encoder from {pre} for {args.method}: {e}; "
+                "pass --allow_random_init to train from scratch anyway"
+            ) from e
+        print(f"WARNING: could not load pretrained encoder ({e}); using random init")
     return variables
 
 
@@ -107,18 +167,26 @@ def fit(args, model, variables, train_loader, tb_writer=None):
     best_mae = args.best_MAE
     for epoch in range(start_epoch, args.train_epochs):
         t0 = time.time()
-        total_loss, n_steps = 0.0, 0
+        # loss accumulates on device; one host fetch per epoch keeps the
+        # ~9 ms-RTT tunnel pipelined instead of syncing every step
+        total_loss = jnp.zeros((), jnp.float32)
+        n_steps = 0
         for batch in train_loader:
+            n_real = batch["image"].shape[0]
             images = _pad_batch(batch["image"], args.batch_size)
             gts = _pad_batch(batch["gt"], args.batch_size)
+            valid = np.zeros((args.batch_size,), np.float32)
+            valid[:n_real] = 1.0
             if mesh is not None:
                 images, gts = shard_batch(images, mesh), shard_batch(gts, mesh)
+                valid = shard_batch(valid, mesh)
             else:
                 images, gts = jnp.asarray(images), jnp.asarray(gts)
-            state, m = train_step(state, images, gts, rng)
-            total_loss += float(m["loss"])
+                valid = jnp.asarray(valid)
+            state, m = train_step(state, images, gts, rng, valid)
+            total_loss = total_loss + m["loss"]
             n_steps += 1
-        loss = total_loss / max(1, n_steps)
+        loss = float(total_loss) / max(1, n_steps)
         lr = _current_lr(args, epoch, decay_epochs, decay_factors)
         print(f"Epoch [{epoch + 1:03d}/{args.train_epochs:03d}] loss {loss:.4f} "
               f"lr {lr:.2e} ({time.time() - t0:.1f}s)")

@@ -43,13 +43,32 @@ def _resize_bilinear(x: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     return jax.image.resize(x, (x.shape[0], H, W, x.shape[3]), method="bilinear")
 
 
-def deep_supervision_loss(outputs: Sequence[jnp.ndarray], gt: jnp.ndarray) -> jnp.ndarray:
-    """Sum of (BCE + IoU) over all heads, each upsampled to gt resolution."""
+def deep_supervision_loss(outputs: Sequence[jnp.ndarray], gt: jnp.ndarray,
+                          valid=None) -> jnp.ndarray:
+    """Sum of (BCE + IoU) over all heads, each upsampled to gt resolution.
+
+    ``valid``: optional (B,) 0/1 weights — rows padded to fill the device
+    batch get zero weight and the mean renormalizes over real samples (the
+    reference trains on the raw smaller last batch; this matches it exactly).
+    """
     H, W = gt.shape[1], gt.shape[2]
+    gtf = gt.astype(jnp.float32)
+    if valid is None:
+        w = jnp.ones((gt.shape[0],), jnp.float32)
+    else:
+        w = valid.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    axes = tuple(range(1, gt.ndim))
     total = 0.0
     for out in outputs:
-        up = _resize_bilinear(out, H, W)
-        total = total + bce_with_logits(up, gt) + iou_loss(up, gt)
+        up = _resize_bilinear(out, H, W).astype(jnp.float32)
+        bce = jnp.maximum(up, 0) - up * gtf + jnp.log1p(jnp.exp(-jnp.abs(up)))
+        bce = jnp.sum(w * jnp.mean(bce, axis=axes)) / denom
+        pred = jax.nn.sigmoid(up)
+        inter = jnp.sum(pred * gtf, axis=axes)
+        union = jnp.sum(pred + gtf, axis=axes) - inter
+        iou = jnp.sum(w * (1.0 - (inter + 1.0) / (union + 1.0))) / denom
+        total = total + bce + iou
     return total
 
 

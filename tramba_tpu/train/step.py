@@ -46,9 +46,12 @@ def create_train_state(model, variables, tx) -> TrainState:
 
 
 def make_train_step(donate: bool = True):
-    """Returns step(state, images, gts, rng) -> (state, metrics)."""
+    """Returns step(state, images, gts, rng, valid) -> (state, metrics).
 
-    def step(state: TrainState, images, gts, rng):
+    ``valid``: (B,) 0/1 weights masking padded rows of a partial final batch.
+    """
+
+    def step(state: TrainState, images, gts, rng, valid=None):
         rng = jax.random.fold_in(rng, state.step)
         mutable = list(state.model_state.keys())
 
@@ -61,7 +64,7 @@ def make_train_step(donate: bool = True):
             else:
                 outs = state.apply_fn(variables, images, deterministic=False, rngs={"dropout": rng})
                 new_mstate = state.model_state
-            return deep_supervision_loss(outs, gts), new_mstate
+            return deep_supervision_loss(outs, gts, valid), new_mstate
 
         (loss, new_mstate), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
