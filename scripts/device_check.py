@@ -1,0 +1,116 @@
+"""On-device kernel regression check: fused Pallas paths vs composed oracle.
+
+Runs the real (non-interpret) TPU kernels at small shapes and asserts
+forward + gradient parity against the composed implementation — the quick
+hardware lock-in for what tests/ run in interpreter mode on CPU.
+
+Usage: python scripts/device_check.py   (exits non-zero on failure)
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+# fp32 parity: TPU matmuls default to bf16 MACs, which would make the
+# composed ORACLE (einsums) the imprecise side of the comparison
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _inputs(B, K, L, D, R, seed):
+    rng = np.random.default_rng(seed)
+    return [jnp.asarray(a) for a in (
+        rng.normal(size=(B, K, L, D)).astype(np.float32),
+        (rng.normal(size=(K, R + 2, D)) * 0.2).astype(np.float32),
+        (rng.normal(size=(K, D, R)) * 0.3).astype(np.float32),
+        (rng.normal(size=(K, D)) * 0.2).astype(np.float32),
+        rng.normal(size=(K, D, 1)).astype(np.float32) * 0.3,
+        rng.normal(size=(K, D)).astype(np.float32),
+    )]
+
+
+def _full_inputs(B, K, H, D, R, seed):
+    rng = np.random.default_rng(seed)
+    L = H * H
+    return [jnp.asarray(a) for a in (
+        rng.normal(size=(B, L, D)).astype(np.float32),
+        (rng.normal(size=(K, R + 2, D)) * 0.2).astype(np.float32),
+        (rng.normal(size=(K, D, R)) * 0.3).astype(np.float32),
+        (rng.normal(size=(K, D)) * 0.2).astype(np.float32),
+        rng.normal(size=(K, D, 1)).astype(np.float32) * 0.3,
+        rng.normal(size=(K, D)).astype(np.float32),
+        (rng.normal(size=(D,)) * 0.1 + 1).astype(np.float32),
+        (rng.normal(size=(D,)) * 0.1).astype(np.float32),
+        (rng.normal(size=(D, D // 2)) * 0.2).astype(np.float32),
+    )]
+
+
+def _check(name, got, want, tol):
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32))))
+    status = "PASS" if err <= tol else "FAIL"
+    print(f"  {status} {name}: max abs err {err:.2e} (tol {tol:g})")
+    return err <= tol
+
+
+def main():
+    from tramba_tpu.ops.fused_ss2d import (
+        composed_ss2d_core, composed_ss2d_full, composed_ss2d_full_p,
+        fused_ss2d_core, fused_ss2d_freq, fused_ss2d_full,
+    )
+
+    assert jax.default_backend() == "tpu", f"need TPU, got {jax.default_backend()}"
+    print(f"device: {jax.devices()[0]}")
+    ok = True
+
+    # core kernel, ragged chunks (L=300 crosses the 256 boundary)
+    args = _inputs(2, 4, 300, 16, 3, 0)
+    y_f = jax.jit(fused_ss2d_core)(*args)
+    y_c = jax.jit(lambda *a: composed_ss2d_core(*a, backend="assoc"))(*args)
+    ok &= _check("core fwd (L=300)", y_f, y_c, 5e-4)
+    gf = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.tanh(fused_ss2d_core(*a))),
+                          argnums=tuple(range(6))))(*args)
+    gc = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.tanh(composed_ss2d_core(*a, backend="assoc"))),
+                          argnums=tuple(range(6))))(*args)
+    for i, (a, b) in enumerate(zip(gf, gc)):
+        ok &= _check(f"core grad[{i}]", a, b, 5e-3)
+
+    # folded raster + line, fwd + dx grad
+    for kind, K in (("raster", 4), ("line", 8)):
+        fargs = _full_inputs(2, K, 24, 16, 3, 1)
+        y_f = jax.jit(lambda *a: fused_ss2d_full(*a, kind, 24, 24))(*fargs)
+        y_c = jax.jit(lambda *a: composed_ss2d_full(*a, kind=kind, H=24, W=24,
+                                                    backend="assoc"))(*fargs)
+        ok &= _check(f"folded {kind} fwd", y_f, y_c, 1e-3)
+        gf = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.tanh(fused_ss2d_full(*a, kind, 24, 24))),
+                              argnums=(0, 1, 4)))(*fargs)
+        gc = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.tanh(
+            composed_ss2d_full(*a, kind=kind, H=24, W=24, backend="assoc"))),
+            argnums=(0, 1, 4)))(*fargs)
+        for n, a, b in zip(("dx", "dwx", "dAlogs"), gf, gc):
+            ok &= _check(f"folded {kind} grad {n}", a, b, 5e-3)
+
+    # freq paths
+    for kind, param in (("dilation", 4), ("window", 8)):
+        fargs = _full_inputs(2, 4, 24, 16, 3, 2)
+        y_f = jax.jit(lambda *a: fused_ss2d_freq(*a, kind, 24, 24, param))(*fargs)
+        y_c = jax.jit(lambda *a: composed_ss2d_full_p(*a, kind=kind, H=24, W=24,
+                                                      param=param, backend="assoc"))(*fargs)
+        ok &= _check(f"freq {kind} fwd", y_f, y_c, 1e-3)
+        gf = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.tanh(
+            fused_ss2d_freq(*a, kind, 24, 24, param))), argnums=(0, 1)))(*fargs)
+        gc = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.tanh(
+            composed_ss2d_full_p(*a, kind=kind, H=24, W=24, param=param,
+                                 backend="assoc"))), argnums=(0, 1)))(*fargs)
+        for n, a, b in zip(("dx", "dwx"), gf, gc):
+            ok &= _check(f"freq {kind} grad {n}", a, b, 5e-3)
+
+    print("DEVICE CHECK:", "PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,224 @@
+"""Perf-evidence kit: measure this chip's rooflines and the model's position.
+
+Reproduces, from a committed artifact, the load-bearing perf claims:
+  1. HBM copy bandwidth via a Pallas passthrough kernel (the probe cited in
+     README/CLAUDE.md — ~200 GB/s on the tunneled chip vs v5e's 819 GB/s).
+  2. MXU peak via a large bf16 matmul.
+  3. Per-segment timing of one flagship forward: the fused SS2D kernels at
+     each stage's real shapes vs the whole model, so the Pallas/XLA split and
+     %-of-roofline are measured, not asserted.
+
+Usage: python scripts/roofline.py [--json PERF_EVIDENCE.json]
+All timings force completion by fetching a scalar (block_until_ready does not
+synchronize on the tunneled axon backend).
+"""
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _sync(x):
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def _time(fn, *args, iters=20, warmup=3):
+    """Median-free simple wall timing with pipelined dispatch, one final sync."""
+    out = fn(*args)
+    _sync(out)
+    for _ in range(warmup):
+        out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+# ---------------------------------------------------------------------------
+# 1. HBM copy bandwidth (Pallas passthrough: one read + one write per element)
+# ---------------------------------------------------------------------------
+
+
+def _copy_kernel(x_ref, o_ref):
+    o_ref[...] = x_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("rows",))
+def _passthrough(x, rows=512):
+    n = x.shape[0]
+    spec = pl.BlockSpec((rows, x.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _copy_kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(n // rows,),
+        in_specs=[spec],
+        out_specs=spec,
+    )(x)
+
+
+def measure_hbm_bandwidth(mbytes=256):
+    cols = 1024
+    rows_total = mbytes * 1024 * 1024 // (4 * cols)
+    rows_total -= rows_total % 512
+    x = jnp.ones((rows_total, cols), jnp.float32)
+    dt = _time(_passthrough, x, iters=20)
+    gbs = 2 * x.size * 4 / dt / 1e9
+    return gbs, dt
+
+
+# ---------------------------------------------------------------------------
+# 2. MXU peak (bf16 matmul)
+# ---------------------------------------------------------------------------
+
+
+def measure_mxu_peak(n=8192):
+    a = jnp.ones((n, n), jnp.bfloat16)
+    b = jnp.ones((n, n), jnp.bfloat16)
+    f = jax.jit(lambda x, y: x @ y)
+    dt = _time(f, a, b, iters=20)
+    tflops = 2 * n**3 / dt / 1e12
+    return tflops, dt
+
+
+# ---------------------------------------------------------------------------
+# 3. Flagship per-segment breakdown
+# ---------------------------------------------------------------------------
+
+# (H, D_inner, kind, n_blocks) per flagship stage: VSSM-B encoder raster
+# stages + decoder Helix(line) MultiScale blocks + FreqBlock guides, 384px.
+# d_inner = 2 * d_model (ssm_ratio 2.0).
+FLAGSHIP_SEGMENTS = [
+    # encoder (dims 128, depths 2,2,15,2; raster K=4)
+    ("enc_s1", 96, 256, "raster", 2),
+    ("enc_s2", 48, 512, "raster", 2),
+    ("enc_s3", 24, 1024, "raster", 15),
+    ("enc_s4", 12, 2048, "raster", 2),
+    # decoder (2 MS blocks per stage, each = one Helix line SS2D; K=8;
+    # d_inner = 2 * skip_ch: 512/256/128 -> 1024/512/256)
+    ("dec_s0", 24, 1024, "line", 2),
+    ("dec_s1", 48, 512, "line", 2),
+    ("dec_s2", 96, 256, "line", 2),
+    # DFVSS guides: window + dilation SS2D per guide stage (K=4 each)
+    ("guide_w24", 24, 1024, "window:8", 1),
+    ("guide_d24", 24, 1024, "dilation:4", 1),
+    ("guide_w48", 48, 512, "window:12", 1),
+    ("guide_d48", 48, 512, "dilation:4", 1),
+    ("guide_w96", 96, 256, "window:16", 1),
+    ("guide_d96", 96, 256, "dilation:4", 1),
+]
+
+
+def _segment_fn(kind, H, D, B, dtype):
+    import numpy as np
+
+    from tramba_tpu.ops.fused_ss2d import fused_ss2d_freq, fused_ss2d_full
+
+    rng = np.random.default_rng(0)
+    K = 8 if kind == "line" else 4
+    R = max(1, (D // 2) // 16)
+    L = H * H
+    x = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32) * 0.1, dtype)
+    wx = jnp.asarray(rng.normal(size=(K, R + 2, D)).astype(np.float32) * 0.05)
+    wdt = jnp.asarray(rng.normal(size=(K, D, R)).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.normal(size=(K, D)).astype(np.float32) * 0.05)
+    A_logs = jnp.asarray(rng.normal(size=(K, D, 1)).astype(np.float32) * 0.1)
+    Ds = jnp.asarray(rng.normal(size=(K, D)).astype(np.float32))
+    scale = jnp.ones((D,), jnp.float32)
+    lb = jnp.zeros((D,), jnp.float32)
+    w_out = jnp.asarray(rng.normal(size=(D, D // 2)).astype(np.float32) * 0.05, dtype)
+    args = (x, wx, wdt, bias, A_logs, Ds, scale, lb, w_out)
+    if ":" in kind:
+        k, p = kind.split(":")
+        f = jax.jit(lambda *a: fused_ss2d_freq(*a, k, H, H, int(p)))
+    else:
+        f = jax.jit(lambda *a: fused_ss2d_full(*a, kind, H, H))
+    return f, args, L
+
+
+def measure_segments(B=16, dtype=jnp.bfloat16, hbm_gbs=None):
+    rows = []
+    total = 0.0
+    for name, H, D, kind, n in FLAGSHIP_SEGMENTS:
+        f, args, L = _segment_fn(kind, H, D, B, dtype)
+        dt = _time(f, *args, iters=10, warmup=2)
+        # minimal traffic: read x once per direction family (K/2 families for
+        # folded dirs), write per-direction outputs once, read them in merge,
+        # write the projected output: ~(1 + K + K + 0.5) * B*L*D elements
+        K = 8 if kind == "line" else 4
+        bpe = jnp.dtype(dtype).itemsize
+        bytes_moved = (1 + 2 * K + 0.5) * B * L * D * bpe
+        gbs = bytes_moved / dt / 1e9
+        rows.append({
+            "segment": name, "kind": kind, "H": H, "D": D, "blocks": n,
+            "ms_per_call": round(dt * 1e3, 3), "ms_total": round(dt * 1e3 * n, 2),
+            "achieved_gbps_est": round(gbs, 1),
+            "roofline_frac": round(gbs / hbm_gbs, 3) if hbm_gbs else None,
+        })
+        total += dt * n
+    return rows, total
+
+
+def measure_model(B=16, dtype=jnp.bfloat16):
+    from tramba_tpu.models.tramba import TrambaV
+
+    model = TrambaV(dtype=dtype)
+    x = jnp.zeros((B, 384, 384, 3), dtype)
+    params = jax.jit(lambda k: model.init(k, x))(jax.random.key(0))
+    f = jax.jit(lambda p, a: model.apply(p, a)[-1])
+    dt = _time(f, params, x, iters=10, warmup=2)
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=None, help="also write results to this path")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--skip-model", action="store_true")
+    args = ap.parse_args()
+
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    gbs, _ = measure_hbm_bandwidth()
+    print(f"HBM copy bandwidth (pallas passthrough): {gbs:.1f} GB/s "
+          f"(v5e spec 819 GB/s; tunnel overhead explains the gap)")
+    tflops, _ = measure_mxu_peak()
+    print(f"MXU bf16 peak (8192^3 matmul): {tflops:.1f} TFLOP/s (v5e spec 197)")
+
+    rows, seg_total = measure_segments(B=args.batch, hbm_gbs=gbs)
+    print(f"\nfused SS2D segments at flagship shapes (batch {args.batch}, bf16):")
+    for r in rows:
+        print(f"  {r['segment']:<10} {r['kind']:<11} H={r['H']:<3} D={r['D']:<5} "
+              f"x{r['blocks']:<2} {r['ms_per_call']:>8.3f} ms/call "
+              f"~{r['achieved_gbps_est']:>6.1f} GB/s "
+              f"({(r['roofline_frac'] or 0) * 100:.0f}% of measured roofline)")
+    print(f"  SS2D kernel total per forward: {seg_total * 1e3:.1f} ms")
+
+    result = {"hbm_copy_gbps": round(gbs, 1), "mxu_bf16_tflops": round(tflops, 1),
+              "segments": rows, "ss2d_total_ms": round(seg_total * 1e3, 2)}
+    if not args.skip_model:
+        mdt = measure_model(B=args.batch)
+        xla_ms = (mdt - seg_total) * 1e3
+        print(f"\nfull flagship forward: {mdt * 1e3:.1f} ms "
+              f"({args.batch / mdt:.1f} img/s) -> SS2D kernels {seg_total * 1e3:.1f} ms, "
+              f"XLA rest (MLPs/convs/LNs/residuals/heads) {xla_ms:.1f} ms")
+        result.update({"model_ms": round(mdt * 1e3, 2),
+                       "img_per_s": round(args.batch / mdt, 1),
+                       "xla_rest_ms": round(xla_ms, 2)})
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(result, f, indent=2)
+        print(f"written: {args.json}")
+
+
+if __name__ == "__main__":
+    main()

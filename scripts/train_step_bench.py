@@ -1,0 +1,64 @@
+"""Flagship training-step wall-time on the real chip.
+
+Measures one jitted train step (fwd + native fused bwd + Adam) at the
+reference training config (Tramba-V, batch 4, 384px) — the number VERDICT
+round 1 put at 0.39 s/step with the composed-VJP fallback.
+
+Usage: python scripts/train_step_bench.py [--batch 4] [--dtype bfloat16]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from tramba_tpu.utils.cache import enable_compilation_cache
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--img", type=int, default=384)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--iters", type=int, default=12)
+    args = ap.parse_args()
+    enable_compilation_cache()
+
+    from tramba_tpu.models.tramba import TrambaV
+    from tramba_tpu.train.optim import make_optimizer
+    from tramba_tpu.train.step import create_train_state, make_train_step
+
+    dtype = jnp.dtype(args.dtype)
+    model = TrambaV(img_size=args.img, dtype=dtype)
+    x = jnp.zeros((args.batch, args.img, args.img, 3), jnp.float32)
+    gts = jnp.zeros((args.batch, args.img, args.img, 1), jnp.float32)
+    t0 = time.time()
+    variables = jax.jit(lambda k: model.init(k, x))(jax.random.key(0))
+    tx = make_optimizer(1e-4, [60], [0.2], 100)
+    state = create_train_state(model, variables, tx)
+    step = make_train_step()
+    rng = jax.random.key(1026)
+
+    state, m = step(state, x, gts, rng)
+    loss0 = float(m["loss"])
+    print(f"compile+first step: {time.time() - t0:.1f}s, loss {loss0:.4f}")
+
+    for _ in range(2):
+        state, m = step(state, x, gts, rng)
+    float(m["loss"])
+    t0 = time.time()
+    for _ in range(args.iters):
+        state, m = step(state, x, gts, rng)
+    lossN = float(m["loss"])
+    dt = (time.time() - t0) / args.iters
+    assert jnp.isfinite(lossN), "loss went non-finite"
+    print(f"train step: {dt * 1e3:.0f} ms/step (batch {args.batch} @ {args.img}px, "
+          f"{args.dtype}); loss {lossN:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -93,3 +93,62 @@ def test_folded_freq_matches_composed(kind, param, H):
     y_f = fused_ss2d_freq(*args, kind, H, H, param)
     y_c = composed_ss2d_full_p(*args, kind=kind, H=H, W=H, param=param, backend="assoc")
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c), rtol=5e-4, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# native fused backward vs the composed VJP oracle (every folded path)
+# ---------------------------------------------------------------------------
+
+
+def _grad_pair(loss_f, loss_c, args, n):
+    gf = jax.grad(loss_f, argnums=tuple(range(n)))(*args)
+    gc = jax.grad(loss_c, argnums=tuple(range(n)))(*args)
+    for i, (a, b) in enumerate(zip(gf, gc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-3,
+                                   err_msg=f"grad argnum {i}")
+
+
+def test_core_native_grad_multichunk():
+    """Core-kernel backward across chunk boundaries (L > chunk)."""
+    args = _inputs(B=2, K=3, L=520, D=8, R=2, seed=4)
+
+    def lf(*a):
+        return jnp.sum(jnp.cos(fused_ss2d_core(*a)))
+
+    def lc(*a):
+        return jnp.sum(jnp.cos(composed_ss2d_core(*a, backend="assoc")))
+
+    _grad_pair(lf, lc, args, 6)
+
+
+@pytest.mark.parametrize("kind,K,H", [("raster", 4, 8), ("raster", 4, 12), ("line", 8, 8),
+                                      ("line", 8, 12)])
+def test_folded_native_grad(kind, K, H):
+    from tramba_tpu.ops.fused_ss2d import composed_ss2d_full, fused_ss2d_full
+
+    args = _full_inputs(B=2, K=K, H=H, W=H, D=8, R=2, seed=5)
+
+    def lf(*a):
+        return jnp.sum(jnp.tanh(fused_ss2d_full(*a, kind, H, H)))
+
+    def lc(*a):
+        return jnp.sum(jnp.tanh(composed_ss2d_full(*a, kind=kind, H=H, W=H, backend="assoc")))
+
+    _grad_pair(lf, lc, args, 9)
+
+
+@pytest.mark.parametrize("kind,param,H", [("dilation", 4, 8), ("dilation", 4, 12),
+                                          ("window", 4, 8), ("window", 4, 12)])
+def test_folded_freq_native_grad(kind, param, H):
+    from tramba_tpu.ops.fused_ss2d import composed_ss2d_full_p, fused_ss2d_freq
+
+    args = _full_inputs(B=2, K=4, H=H, W=H, D=8, R=2, seed=6)
+
+    def lf(*a):
+        return jnp.sum(jnp.tanh(fused_ss2d_freq(*a, kind, H, H, param)))
+
+    def lc(*a):
+        return jnp.sum(jnp.tanh(
+            composed_ss2d_full_p(*a, kind=kind, H=H, W=H, param=param, backend="assoc")))
+
+    _grad_pair(lf, lc, args, 9)

@@ -9,8 +9,11 @@ the reference's fused CUDA kernel ``selective_scan_cuda_oflex``
 (csms6s.py:904-923) with the projections (vmamba.py:232-236) fused in.
 
 d_state N == 1 only (every live path in the reference).  The backward pass
-reuses the composed implementation's VJP (numerically equivalent), so the
-fused forward is safe under autodiff.
+is native (see the "Native fused backward" section): the adjoint recurrence
+runs as the same chunked Pallas kernels in reverse visiting order,
+recomputing intra-chunk state from fp32 chunk-boundary carries the forward
+emits — the TPU answer to the reference's fused CUDA backward
+(csms6s.py:920-922).  The composed path remains as the VJP oracle in tests.
 """
 
 from __future__ import annotations
@@ -34,8 +37,10 @@ def composed_ss2d_core(xs, x_proj_w, dt_w, dt_b, A_logs, Ds, backend=None):
     A_logs: (K, D, 1); Ds: (K, D).  Returns ys (B, K, L, D).
     """
     R = x_proj_w.shape[1] - 2
-    cd = xs.dtype
-    dbc = jnp.einsum("bkld,kcd->bklc", xs, x_proj_w.astype(cd))
+    # fp32 projections, matching the fused kernel's in-VMEM compute dtype so
+    # the composed VJP differentiates the same function the kernel evaluates
+    cd = jnp.float32
+    dbc = jnp.einsum("bkld,kcd->bklc", xs.astype(cd), x_proj_w.astype(cd))
     dts, Bc, Cc = jnp.split(dbc, [R, R + 1], axis=-1)
     dts = jnp.einsum("bklr,kdr->bkld", dts, dt_w.astype(cd))
     delta = jax.nn.softplus(dts.astype(jnp.float32) + dt_b.astype(jnp.float32)[None, :, None, :])
@@ -47,13 +52,21 @@ def composed_ss2d_core(xs, x_proj_w, dt_w, dt_b, A_logs, Ds, backend=None):
     return y.astype(xs.dtype)
 
 
-def _fused_kernel(R, hi, xs_ref, wx_ref, wdt_ref, bias_ref, A_ref, Ds_ref, out_ref, carry):
+def _fused_kernel(R, hi, emit, *refs):
+    if emit:
+        xs_ref, wx_ref, wdt_ref, bias_ref, A_ref, Ds_ref, out_ref, cout_ref, carry = refs
+    else:
+        xs_ref, wx_ref, wdt_ref, bias_ref, A_ref, Ds_ref, out_ref, carry = refs
+        cout_ref = None
     prec = jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT
     t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
         carry[...] = jnp.zeros_like(carry)
+
+    if cout_ref is not None:
+        cout_ref[0, 0] = carry[...]  # fp32 carry entering this chunk (for the bwd)
 
     x = xs_ref[0].astype(jnp.float32)  # (T, D)
     wx = wx_ref[0].astype(jnp.float32)  # (C, D)
@@ -89,12 +102,15 @@ def _fused_kernel(R, hi, xs_ref, wx_ref, wdt_ref, bias_ref, A_ref, Ds_ref, out_r
     out_ref[0] = y.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("K", "R", "chunk", "interpret", "k_major"))
+@functools.partial(jax.jit, static_argnames=("K", "R", "chunk", "interpret", "k_major",
+                                             "emit_carries"))
 def _fused_pallas(xs3, wx, wdt, bias, A, Ds, K: int, R: int, chunk: int = 256,
-                  interpret: bool = False, k_major: bool = False):
+                  interpret: bool = False, k_major: bool = False,
+                  emit_carries: bool = False):
     BK, L, D = xs3.shape
     T = min(chunk, L)
-    grid = (BK, pl.cdiv(L, T))
+    nT = pl.cdiv(L, T)
+    grid = (BK, nT)
     C = wx.shape[1]
     nB = BK // K
     # row r of xs3 is (b*K + k) by default, or (k*nB + b) when k_major
@@ -103,9 +119,16 @@ def _fused_pallas(xs3, wx, wdt, bias, A, Ds, K: int, R: int, chunk: int = 256,
     par_spec = lambda *shape: pl.BlockSpec(
         (1,) + shape, lambda r, t: (kidx(r),) + (0,) * len(shape), memory_space=pltpu.VMEM
     )
-    return pl.pallas_call(
-        functools.partial(_fused_kernel, R, xs3.dtype == jnp.float32),
-        out_shape=jax.ShapeDtypeStruct((BK, L, D), xs3.dtype),
+    out_shape = [jax.ShapeDtypeStruct((BK, L, D), xs3.dtype)]
+    out_specs = [seq_spec]
+    if emit_carries:
+        # (.., 1, D) trailing dims satisfy the Mosaic (sublane, lane) tiling rule
+        out_shape.append(jax.ShapeDtypeStruct((BK, nT, 1, D), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, 1, D), lambda r, t: (r, t, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
+        functools.partial(_fused_kernel, R, xs3.dtype == jnp.float32, emit_carries),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
             seq_spec,
@@ -115,18 +138,19 @@ def _fused_pallas(xs3, wx, wdt, bias, A, Ds, K: int, R: int, chunk: int = 256,
             par_spec(1, D),
             par_spec(1, D),
         ],
-        out_specs=seq_spec,
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((1, D), jnp.float32)],
         interpret=interpret,
     )(xs3, wx, wdt, bias[:, None, :], A[:, None, :], Ds[:, None, :])
+    return tuple(res) if emit_carries else res[0]
 
 
-def _fused_forward(xs, x_proj_w, dt_w, dt_b, A_logs, Ds):
+def _fused_forward(xs, x_proj_w, dt_w, dt_b, A_logs, Ds, emit_carries=False):
     B, K, L, D = xs.shape
     R = x_proj_w.shape[1] - 2
     A = -jnp.exp(A_logs.astype(jnp.float32))[..., 0]  # (K, D)
     on_tpu = jax.default_backend() == "tpu"
-    ys = _fused_pallas(
+    res = _fused_pallas(
         xs.reshape(B * K, L, D),
         x_proj_w.astype(jnp.float32),
         dt_w.astype(jnp.float32),
@@ -136,25 +160,50 @@ def _fused_forward(xs, x_proj_w, dt_w, dt_b, A_logs, Ds):
         K=K,
         R=R,
         interpret=not on_tpu,
+        emit_carries=emit_carries,
     )
-    return ys.reshape(B, K, L, D)
+    if emit_carries:
+        ys, carries = res
+        return ys.reshape(B, K, L, D), carries
+    return res.reshape(B, K, L, D)
 
 
 @jax.custom_vjp
 def fused_ss2d_core(xs, x_proj_w, dt_w, dt_b, A_logs, Ds):
-    """Fused forward; backward falls back to the composed path's VJP."""
+    """Fused forward with a native fused backward (the adjoint recurrence run
+    as the same chunked kernel on reversed visiting order; reference CUDA
+    bwd analogue: csms6s.py:920-922)."""
     return _fused_forward(xs, x_proj_w, dt_w, dt_b, A_logs, Ds)
 
 
 def _fwd(xs, x_proj_w, dt_w, dt_b, A_logs, Ds):
-    return fused_ss2d_core(xs, x_proj_w, dt_w, dt_b, A_logs, Ds), (
-        xs, x_proj_w, dt_w, dt_b, A_logs, Ds,
-    )
+    ys, carries = _fused_forward(xs, x_proj_w, dt_w, dt_b, A_logs, Ds, emit_carries=True)
+    return ys, (xs, x_proj_w, dt_w, dt_b, A_logs, Ds, carries)
 
 
 def _bwd(res, g):
-    _, vjp = jax.vjp(composed_ss2d_core, *res)
-    return vjp(g)
+    xs, x_proj_w, dt_w, dt_b, A_logs, Ds, carries = res
+    B, K, L, D = xs.shape
+    R = x_proj_w.shape[1] - 2
+    f32 = jnp.float32
+    A = -jnp.exp(A_logs.astype(f32))[..., 0]
+    interp = jax.default_backend() != "tpu"
+    dx3, partials = _seq_bwd_pallas(
+        xs.reshape(B * K, L, D), g.reshape(B * K, L, D), carries,
+        x_proj_w.astype(f32), dt_w.astype(f32), dt_b.astype(f32), A, Ds.astype(f32),
+        K=K, R=R, interpret=interp,
+    )
+    red = lambda p: p.reshape(B, K, *p.shape[1:]).sum(0)  # rows r = b*K + k
+    r = [red(p) for p in partials]
+    dA = r[5][:, 0]
+    return (
+        dx3.reshape(B, K, L, D).astype(xs.dtype),
+        _assemble_wx(r).astype(x_proj_w.dtype),
+        r[3].astype(dt_w.dtype),
+        r[4][:, 0].astype(dt_b.dtype),
+        ((dA * A)[..., None]).astype(A_logs.dtype),
+        r[6][:, 0].astype(Ds.dtype),
+    )
 
 
 fused_ss2d_core.defvjp(_fwd, _bwd)
@@ -197,8 +246,12 @@ def _scan_chunk(a, b, reverse):
     return a, b
 
 
-def _dirs_kernel(R, transposed, hi, xs_ref, wx_ref, wdt_ref, bias_ref, A_ref, Ds_ref,
-                 out_ref, carry):
+def _dirs_kernel(R, transposed, hi, emit, *refs):
+    if emit:
+        (xs_ref, wx_ref, wdt_ref, bias_ref, A_ref, Ds_ref, out_ref, cout_ref, carry) = refs
+    else:
+        (xs_ref, wx_ref, wdt_ref, bias_ref, A_ref, Ds_ref, out_ref, carry) = refs
+        cout_ref = None
     prec = jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT
     k = pl.program_id(1)
     t = pl.program_id(2)
@@ -206,6 +259,9 @@ def _dirs_kernel(R, transposed, hi, xs_ref, wx_ref, wdt_ref, bias_ref, A_ref, Ds
     @pl.when(t == 0)
     def _():
         carry[...] = jnp.zeros_like(carry)
+
+    if cout_ref is not None:
+        cout_ref[0, 0, 0] = carry[...]  # carry entering this chunk, fp32
 
     blk = xs_ref[0]
     if transposed:
@@ -260,8 +316,8 @@ def _row_chunk(H, W, D=256):
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _rows_pallas(ximg, wx, wdt, bias, A, Ds, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "emit_carries"))
+def _rows_pallas(ximg, wx, wdt, bias, A, Ds, interpret=False, emit_carries=False):
     B, H, W, D = ximg.shape
     Tr = _row_chunk(H, W, D)
     nT = H // Tr
@@ -274,19 +330,29 @@ def _rows_pallas(ximg, wx, wdt, bias, A, Ds, interpret=False):
                                   memory_space=pltpu.VMEM)
     R = wdt.shape[-1]
     C = wx.shape[1]
-    return pl.pallas_call(
-        functools.partial(_dirs_kernel, R, False, ximg.dtype == jnp.float32),
-        out_shape=jax.ShapeDtypeStruct((B, 2, nT, Tr, W, D), ximg.dtype),
+    out_shape = [jax.ShapeDtypeStruct((B, 2, nT, Tr, W, D), ximg.dtype)]
+    out_specs = [pl.BlockSpec(
+        (1, 1, 1, Tr, W, D),
+        lambda b, k, t: (b, k, jnp.where(k == 0, t, nT - 1 - t), 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )]
+    if emit_carries:
+        out_shape.append(jax.ShapeDtypeStruct((B, 2, nT, 1, D), jnp.float32))
+        out_specs.append(pl.BlockSpec(
+            (1, 1, 1, 1, D),
+            lambda b, k, t: (b, k, jnp.where(k == 0, t, nT - 1 - t), 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+    res = pl.pallas_call(
+        functools.partial(_dirs_kernel, R, False, ximg.dtype == jnp.float32, emit_carries),
+        out_shape=out_shape,
         grid=(B, 2, nT),
         in_specs=[spec_x, par(C, D), par(D, R), par(1, D), par(1, D), par(1, D)],
-        out_specs=pl.BlockSpec(
-            (1, 1, 1, Tr, W, D),
-            lambda b, k, t: (b, k, jnp.where(k == 0, t, nT - 1 - t), 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((1, D), jnp.float32)],
         interpret=interpret,
     )(ximg, wx, wdt, bias[:, None, :], A[:, None, :], Ds[:, None, :])
+    return tuple(res) if emit_carries else res[0]
 
 
 def _col_chunk(W, H, D=256):
@@ -300,8 +366,8 @@ def _col_chunk(W, H, D=256):
     return best or W
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _cols_pallas(ximg, wx, wdt, bias, A, Ds, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "emit_carries"))
+def _cols_pallas(ximg, wx, wdt, bias, A, Ds, interpret=False, emit_carries=False):
     B, H, W, D = ximg.shape
     Tc = _col_chunk(W, H, D)
     nT = W // Tc
@@ -309,9 +375,22 @@ def _cols_pallas(ximg, wx, wdt, bias, A, Ds, interpret=False):
     C = wx.shape[1]
     par = lambda *s: pl.BlockSpec((1,) + s, lambda b, k, t: (k,) + (0,) * len(s),
                                   memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_dirs_kernel, R, True, ximg.dtype == jnp.float32),
-        out_shape=jax.ShapeDtypeStruct((B, 2, nT, H, Tc, D), ximg.dtype),
+    out_shape = [jax.ShapeDtypeStruct((B, 2, nT, H, Tc, D), ximg.dtype)]
+    out_specs = [pl.BlockSpec(
+        (1, 1, 1, H, Tc, D),
+        lambda b, k, t: (b, k, jnp.where(k == 0, t, nT - 1 - t), 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )]
+    if emit_carries:
+        out_shape.append(jax.ShapeDtypeStruct((B, 2, nT, 1, D), jnp.float32))
+        out_specs.append(pl.BlockSpec(
+            (1, 1, 1, 1, D),
+            lambda b, k, t: (b, k, jnp.where(k == 0, t, nT - 1 - t), 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+    res = pl.pallas_call(
+        functools.partial(_dirs_kernel, R, True, ximg.dtype == jnp.float32, emit_carries),
+        out_shape=out_shape,
         grid=(B, 2, nT),
         in_specs=[
             pl.BlockSpec(
@@ -321,14 +400,11 @@ def _cols_pallas(ximg, wx, wdt, bias, A, Ds, interpret=False):
             ),
             par(C, D), par(D, R), par(1, D), par(1, D), par(1, D),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, 1, H, Tc, D),
-            lambda b, k, t: (b, k, jnp.where(k == 0, t, nT - 1 - t), 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((1, D), jnp.float32)],
         interpret=interpret,
     )(ximg, wx, wdt, bias[:, None, :], A[:, None, :], Ds[:, None, :])
+    return tuple(res) if emit_carries else res[0]
 
 
 def _erf(x):
@@ -341,12 +417,14 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _merge_kernel(eps, has_line, hi, *refs):
+def _merge_kernel(eps, has_line, hi, emit, *refs):
     if has_line:
-        y02_ref, y13_ref, yline_ref, scale_ref, bias_ref, wout_ref, out_ref = refs
+        y02_ref, y13_ref, yline_ref, scale_ref, bias_ref, wout_ref, *outs = refs
     else:
-        y02_ref, y13_ref, scale_ref, bias_ref, wout_ref, out_ref = refs
+        y02_ref, y13_ref, scale_ref, bias_ref, wout_ref, *outs = refs
         yline_ref = None
+    out_ref = outs[0]
+    ysum_ref = outs[1] if emit else None
     s02 = (y02_ref[0, 0, 0] + y02_ref[0, 1, 0]).astype(jnp.float32)  # (Tr, W, D)
     Tr, W, D = s02.shape
     s13 = (y13_ref[0, 0] + y13_ref[0, 1]).astype(jnp.float32)  # (nTc, Tr, Tc, D)
@@ -355,6 +433,8 @@ def _merge_kernel(eps, has_line, hi, *refs):
     y = (s02 + s13).reshape(Tr * W, D)
     if yline_ref is not None:
         y = y + yline_ref[0].astype(jnp.float32)
+    if ysum_ref is not None:
+        ysum_ref[0] = y.astype(ysum_ref.dtype)  # pre-LN sum, the LN-adjoint residual
     mean = jnp.mean(y, axis=-1, keepdims=True)
     var = jnp.mean((y - mean) ** 2, axis=-1, keepdims=True)
     y = (y - mean) * jax.lax.rsqrt(var + eps)
@@ -368,8 +448,9 @@ def _merge_kernel(eps, has_line, hi, *refs):
     out_ref[0] = y.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
-def _merge_pallas(y02, y13, y_line, scale, bias, w_out, H: int, W: int, interpret=False):
+@functools.partial(jax.jit, static_argnames=("H", "W", "interpret", "emit_ysum"))
+def _merge_pallas(y02, y13, y_line, scale, bias, w_out, H: int, W: int, interpret=False,
+                  emit_ysum=False):
     """y02: (B, 2, nTr, Tr, W, D) pixel-row chunks; y13: (B, 2, nTc, H, Tc, D).
 
     Sums the four direction outputs (+ optional pre-merged line directions),
@@ -402,15 +483,22 @@ def _merge_pallas(y02, y13, y_line, scale, bias, w_out, H: int, W: int, interpre
     ]
     args += [scale[None, :].astype(jnp.float32), bias[None, :].astype(jnp.float32), w_out]
     hi = bool(y02.dtype == jnp.float32)
-    return pl.pallas_call(
-        functools.partial(_merge_kernel, 1e-5, has_line, hi),
-        out_shape=jax.ShapeDtypeStruct((B, L, dm), y02.dtype),
+    out_shape = [jax.ShapeDtypeStruct((B, L, dm), y02.dtype)]
+    out_specs = [pl.BlockSpec((1, Tr * W, dm), lambda b, t: (b, t, 0),
+                              memory_space=pltpu.VMEM)]
+    if emit_ysum:
+        out_shape.append(jax.ShapeDtypeStruct((B, L, D), y02.dtype))
+        out_specs.append(pl.BlockSpec((1, Tr * W, D), lambda b, t: (b, t, 0),
+                                      memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
+        functools.partial(_merge_kernel, 1e-5, has_line, hi, emit_ysum),
+        out_shape=out_shape,
         grid=(B, nTr),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, Tr * W, dm), lambda b, t: (b, t, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         interpret=interpret,
     )(*args)
+    return tuple(res) if emit_ysum else res[0]
 
 
 def _ln_gelu_proj(y, ln_scale, ln_bias, w_out, dtype):
@@ -422,6 +510,316 @@ def _ln_gelu_proj(y, ln_scale, ln_bias, w_out, dtype):
     y = 0.5 * y * (1.0 + jax.lax.erf(y / jnp.sqrt(2.0).astype(jnp.float32)))
     y = y @ w_out.astype(jnp.float32)
     return y.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Native fused backward.
+#
+# The adjoint of h_t = a_t h_{t-1} + b_t is the same recurrence run against
+# scan order: lam_t = g_h,t + a_{t+1} lam_{t+1}.  The backward kernels visit
+# chunks in reverse scan order, recompute the intra-chunk state (projections,
+# delta, a, b, h) from x plus the fp32 chunk-entry carry the forward emitted
+# (so h never round-trips HBM), run the lam scan as the same Hillis-Steele
+# with coefficients shifted by one, and accumulate the per-direction weight
+# gradients in VMEM across chunks.  This replaces the composed-VJP fallback
+# (reference CUDA bwd: csms6s.py:920-922) with one kernel pass at ~forward
+# cost instead of the composed path's multi-pass HBM traffic.
+# ---------------------------------------------------------------------------
+
+
+def _shift_down(x, fill_row):
+    """y_t = x_{t-1}; y_0 = fill_row ((1, D) or scalar)."""
+    T = x.shape[0]
+    r = pltpu.roll(x, shift=1, axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(row == 0, fill_row, r)
+
+
+def _shift_up(x, fill_row):
+    """y_t = x_{t+1}; y_{T-1} = fill_row."""
+    T = x.shape[0]
+    r = pltpu.roll(x, shift=T - 1, axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(row == T - 1, fill_row, r)
+
+
+def _bwd_chunk_math(R, prec, k_is_fwd, x, g, carry_fwd, lam_in, wx, wdt, bias, A, Ds):
+    """Adjoint of one sequence chunk.  All operands fp32.
+
+    x, g: (T, D); carry_fwd: (1, D) h entering this chunk in scan order;
+    lam_in: (1, D) lam carry from the previously processed (scan-later) chunk.
+    ``k_is_fwd``: traced bool — True if this direction scans ascending.
+    Returns (dx, lam_out, partials) with partials
+    (p_wx_dt (R,D), p_wx_B (1,D), p_wx_C (1,D), p_wdt (D,R), p_bias, p_A, p_D).
+    """
+    T = x.shape[0]
+    dot = lambda l, r, dims: jax.lax.dot_general(
+        l, r, dimension_numbers=(dims, ((), ())), preferred_element_type=jnp.float32,
+        precision=prec)
+    dbc = dot(x, wx, ((1,), (1,)))  # (T, C)
+    dts = dbc[:, :R]
+    Bc = dbc[:, R : R + 1]
+    Cc = dbc[:, R + 1 : R + 2]
+    dt_pre = dot(dts, wdt, ((1,), (1,))) + bias
+    delta = jax.nn.softplus(dt_pre)
+    sig = jax.nn.sigmoid(dt_pre)
+    a = jnp.exp(delta * A)
+    b = delta * x * Bc
+    gh = g * Cc
+
+    def fwd_dir(_):
+        Ac, hp = _scan_chunk(a, b, reverse=False)
+        h = Ac * carry_fwd + hp
+        h_prev = _shift_down(h, carry_fwd)
+        a_sh = _shift_up(a, 1.0)
+        Ar, lp = _scan_chunk(a_sh, gh, reverse=True)
+        lam = lp + Ar * lam_in
+        return h, h_prev, lam, a[0:1] * lam[0:1]
+
+    def rev_dir(_):
+        Ac, hp = _scan_chunk(a, b, reverse=True)
+        h = Ac * carry_fwd + hp
+        h_prev = _shift_up(h, carry_fwd)
+        a_sh = _shift_down(a, 1.0)
+        Ar, lp = _scan_chunk(a_sh, gh, reverse=False)
+        lam = lp + Ar * lam_in
+        return h, h_prev, lam, a[T - 1 :] * lam[T - 1 :]
+
+    if k_is_fwd is True:  # static forward-only direction (pre-permuted sequences)
+        h, h_prev, lam, lam_out = fwd_dir(None)
+    else:
+        h, h_prev, lam, lam_out = jax.lax.cond(k_is_fwd, fwd_dir, rev_dir, None)
+
+    daA = lam * h_prev * a  # da * a
+    ddelta = daA * A + lam * x * Bc
+    ddt = ddelta * sig
+    dBc = jnp.sum(lam * delta * x, axis=1, keepdims=True)  # (T, 1)
+    dCc = jnp.sum(g * h, axis=1, keepdims=True)
+    d_dts = dot(ddt, wdt, ((1,), (0,)))  # (T, R)
+    dx = lam * delta * Bc + g * Ds
+    dx = dx + dot(d_dts, wx[:R], ((1,), (0,)))  # (T, R) @ (R, D)
+    dx = dx + dBc * wx[R : R + 1] + dCc * wx[R + 1 : R + 2]
+    partials = (
+        dot(d_dts, x, ((0,), (0,))),  # p_wx_dt (R, D)
+        jnp.sum(dBc * x, axis=0, keepdims=True),  # p_wx_B (1, D)
+        jnp.sum(dCc * x, axis=0, keepdims=True),  # p_wx_C (1, D)
+        dot(ddt, dts, ((0,), (0,))),  # p_wdt (D, R)
+        jnp.sum(ddt, axis=0, keepdims=True),  # p_bias
+        jnp.sum(daA * delta, axis=0, keepdims=True),  # p_A
+        jnp.sum(g * x, axis=0, keepdims=True),  # p_D
+    )
+    return dx, lam_out, partials
+
+
+def _accumulate_partials(t, partial_refs, partials):
+    @pl.when(t == 0)
+    def _():
+        for ref, val in zip(partial_refs, partials):
+            ref[0, 0] = val
+
+    @pl.when(t > 0)
+    def _():
+        for ref, val in zip(partial_refs, partials):
+            ref[0, 0] += val
+
+
+def _dirs_bwd_kernel(R, transposed, hi, x_ref, g_ref, cin_ref, wx_ref, wdt_ref, bias_ref,
+                     A_ref, Ds_ref, dx_ref, *rest):
+    partial_refs, lam_carry = rest[:-1], rest[-1]
+    prec = jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT
+    k = pl.program_id(1)
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        lam_carry[...] = jnp.zeros_like(lam_carry)
+
+    blk = x_ref[0]
+    gblk = g_ref[0]
+    if transposed:
+        blk = jnp.swapaxes(blk, 0, 1)
+        gblk = jnp.swapaxes(gblk, 0, 1)
+    shape3 = blk.shape
+    T = shape3[0] * shape3[1]
+    x = blk.reshape(T, -1).astype(jnp.float32)
+    g = gblk.reshape(T, -1).astype(jnp.float32)
+
+    dx, lam_out, partials = _bwd_chunk_math(
+        R, prec, k == 0, x, g, cin_ref[0, 0, 0], lam_carry[...],
+        wx_ref[0].astype(jnp.float32), wdt_ref[0].astype(jnp.float32),
+        bias_ref[0].astype(jnp.float32), A_ref[0].astype(jnp.float32),
+        Ds_ref[0].astype(jnp.float32),
+    )
+    lam_carry[...] = lam_out
+    if transposed:
+        dx_ref[0, 0, 0] = jnp.swapaxes(dx.reshape(shape3), 0, 1).astype(dx_ref.dtype)
+    else:
+        dx_ref[0, 0, 0] = dx.reshape(shape3).astype(dx_ref.dtype)
+    _accumulate_partials(t, partial_refs, partials)
+
+
+def _bwd_partial_outputs(B, C, D, R):
+    """(out_shape, out_spec) pairs for the 7 per-(b, k) weight-grad partials."""
+    par_out = lambda *s: pl.BlockSpec((1, 1) + s, lambda b, k, t: (b, k) + (0,) * len(s),
+                                      memory_space=pltpu.VMEM)
+    shapes = [(R, D), (1, D), (1, D), (D, R), (1, D), (1, D), (1, D)]
+    return ([jax.ShapeDtypeStruct((B, 2) + s, jnp.float32) for s in shapes],
+            [par_out(*s) for s in shapes])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _rows_bwd_pallas(ximg, gimg, carries, wx, wdt, bias, A, Ds, interpret=False):
+    """Backward of _rows_pallas.  Returns (dx (B,2,nT,Tr,W,D), 7 partials (B,2,...))."""
+    B, H, W, D = ximg.shape
+    Tr = _row_chunk(H, W, D)
+    nT = H // Tr
+    R = wdt.shape[-1]
+    C = wx.shape[1]
+    # mirror of the forward visiting order: dir 0 processed nT-1..0, dir 1 0..nT-1
+    jmap = lambda b, k, t: (b, jnp.where(k == 0, nT - 1 - t, t), 0, 0)
+    spec_x = pl.BlockSpec((1, Tr, W, D), jmap, memory_space=pltpu.VMEM)
+    par = lambda *s: pl.BlockSpec((1,) + s, lambda b, k, t: (k,) + (0,) * len(s),
+                                  memory_space=pltpu.VMEM)
+    cin_spec = pl.BlockSpec(
+        (1, 1, 1, 1, D),
+        lambda b, k, t: (b, k, jnp.where(k == 0, nT - 1 - t, t), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dx_spec = pl.BlockSpec(
+        (1, 1, 1, Tr, W, D),
+        lambda b, k, t: (b, k, jnp.where(k == 0, nT - 1 - t, t), 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    p_shapes, p_specs = _bwd_partial_outputs(B, C, D, R)
+    res = pl.pallas_call(
+        functools.partial(_dirs_bwd_kernel, R, False, ximg.dtype == jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((B, 2, nT, Tr, W, D), ximg.dtype)] + p_shapes,
+        grid=(B, 2, nT),
+        in_specs=[spec_x, spec_x, cin_spec, par(C, D), par(D, R), par(1, D), par(1, D),
+                  par(1, D)],
+        out_specs=[dx_spec] + p_specs,
+        scratch_shapes=[pltpu.VMEM((1, D), jnp.float32)],
+        interpret=interpret,
+    )(ximg, gimg, carries, wx, wdt, bias[:, None, :], A[:, None, :], Ds[:, None, :])
+    return res[0], res[1:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _cols_bwd_pallas(ximg, gimg, carries, wx, wdt, bias, A, Ds, interpret=False):
+    """Backward of _cols_pallas.  Returns (dx (B,2,nT,H,Tc,D), partials)."""
+    B, H, W, D = ximg.shape
+    Tc = _col_chunk(W, H, D)
+    nT = W // Tc
+    R = wdt.shape[-1]
+    C = wx.shape[1]
+    jmap = lambda b, k, t: (b, 0, jnp.where(k == 0, nT - 1 - t, t), 0)
+    spec_x = pl.BlockSpec((1, H, Tc, D), jmap, memory_space=pltpu.VMEM)
+    par = lambda *s: pl.BlockSpec((1,) + s, lambda b, k, t: (k,) + (0,) * len(s),
+                                  memory_space=pltpu.VMEM)
+    cin_spec = pl.BlockSpec(
+        (1, 1, 1, 1, D),
+        lambda b, k, t: (b, k, jnp.where(k == 0, nT - 1 - t, t), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dx_spec = pl.BlockSpec(
+        (1, 1, 1, H, Tc, D),
+        lambda b, k, t: (b, k, jnp.where(k == 0, nT - 1 - t, t), 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    p_shapes, p_specs = _bwd_partial_outputs(B, C, D, R)
+    res = pl.pallas_call(
+        functools.partial(_dirs_bwd_kernel, R, True, ximg.dtype == jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((B, 2, nT, H, Tc, D), ximg.dtype)] + p_shapes,
+        grid=(B, 2, nT),
+        in_specs=[spec_x, spec_x, cin_spec, par(C, D), par(D, R), par(1, D), par(1, D),
+                  par(1, D)],
+        out_specs=[dx_spec] + p_specs,
+        scratch_shapes=[pltpu.VMEM((1, D), jnp.float32)],
+        interpret=interpret,
+    )(ximg, gimg, carries, wx, wdt, bias[:, None, :], A[:, None, :], Ds[:, None, :])
+    return res[0], res[1:]
+
+
+def _seq_bwd_kernel(R, hi, L, x_ref, g_ref, cin_ref, wx_ref, wdt_ref, bias_ref, A_ref,
+                    Ds_ref, dx_ref, *rest):
+    partial_refs, lam_carry = rest[:-1], rest[-1]
+    prec = jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT
+    t = pl.program_id(1)
+    nT = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        lam_carry[...] = jnp.zeros_like(lam_carry)
+
+    x = x_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    T = x.shape[0]
+    if L % T != 0:
+        # ragged final chunk: zero out-of-bounds rows (they are processed
+        # FIRST here, so pad garbage would otherwise flow into valid chunks)
+        pos = (nT - 1 - t) * T + jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        x = jnp.where(pos < L, x, 0.0)
+        g = jnp.where(pos < L, g, 0.0)
+    dx, lam_out, partials = _bwd_chunk_math(
+        R, prec, True, x, g, cin_ref[0, 0], lam_carry[...],
+        wx_ref[0].astype(jnp.float32), wdt_ref[0].astype(jnp.float32),
+        bias_ref[0].astype(jnp.float32), A_ref[0].astype(jnp.float32),
+        Ds_ref[0].astype(jnp.float32),
+    )
+    lam_carry[...] = lam_out
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    @pl.when(t == 0)
+    def _():
+        for ref, val in zip(partial_refs, partials):
+            ref[0] = val
+
+    @pl.when(t > 0)
+    def _():
+        for ref, val in zip(partial_refs, partials):
+            ref[0] += val
+
+
+@functools.partial(jax.jit, static_argnames=("K", "R", "chunk", "interpret", "k_major"))
+def _seq_bwd_pallas(xs3, g3, carries, wx, wdt, bias, A, Ds, K: int, R: int,
+                    chunk: int = 256, interpret: bool = False, k_major: bool = False):
+    """Backward of _fused_pallas.  Returns (dx (BK,L,D), 7 partials (BK,...))."""
+    BK, L, D = xs3.shape
+    T = min(chunk, L)
+    nT = pl.cdiv(L, T)
+    C = wx.shape[1]
+    nB = BK // K
+    kidx = (lambda r: r // nB) if k_major else (lambda r: r % K)
+    seq_spec = pl.BlockSpec((1, T, D), lambda r, t: (r, nT - 1 - t, 0),
+                            memory_space=pltpu.VMEM)
+    par_spec = lambda *shape: pl.BlockSpec(
+        (1,) + shape, lambda r, t: (kidx(r),) + (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    par_out = lambda *s: pl.BlockSpec((1,) + s, lambda r, t: (r,) + (0,) * len(s),
+                                      memory_space=pltpu.VMEM)
+    p_shapes = [(R, D), (1, D), (1, D), (D, R), (1, D), (1, D), (1, D)]
+    res = pl.pallas_call(
+        functools.partial(_seq_bwd_kernel, R, xs3.dtype == jnp.float32, L),
+        out_shape=[jax.ShapeDtypeStruct((BK, L, D), xs3.dtype)]
+        + [jax.ShapeDtypeStruct((BK,) + s, jnp.float32) for s in p_shapes],
+        grid=(BK, nT),
+        in_specs=[
+            seq_spec,
+            seq_spec,
+            pl.BlockSpec((1, 1, 1, D), lambda r, t: (r, nT - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            par_spec(C, D), par_spec(D, R), par_spec(1, D), par_spec(1, D), par_spec(1, D),
+        ],
+        out_specs=[seq_spec] + [par_out(*s) for s in p_shapes],
+        scratch_shapes=[pltpu.VMEM((1, D), jnp.float32)],
+        interpret=interpret,
+    )(xs3, g3, carries, wx, wdt, bias[:, None, :], A[:, None, :], Ds[:, None, :])
+    return res[0], res[1:]
+
+
+def _assemble_wx(p):
+    """partials (.., R, D), (.., 1, D), (.., 1, D) -> (.., C, D)."""
+    return jnp.concatenate([p[0], p[1], p[2]], axis=-2)
 
 
 def composed_ss2d_full(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out,
@@ -437,9 +835,7 @@ def composed_ss2d_full(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bi
 
 
 def _folded_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out,
-                    kind: str, H: int, W: int):
-
-
+                    kind: str, H: int, W: int, train: bool = False):
     B, L, D = x_flat.shape
     ximg = x_flat.reshape(B, H, W, D)
     interp = jax.default_backend() != "tpu"
@@ -450,10 +846,14 @@ def _folded_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
 
     rows_sel = jnp.asarray([0, 2])
     cols_sel = jnp.asarray([1, 3])
+    c02 = c13 = c_line = None
     y02 = _rows_pallas(ximg, wx[rows_sel], wdt[rows_sel], bias[rows_sel], A[rows_sel],
-                       Dsf[rows_sel], interpret=interp)
+                       Dsf[rows_sel], interpret=interp, emit_carries=train)
     y13 = _cols_pallas(ximg, wx[cols_sel], wdt[cols_sel], bias[cols_sel], A[cols_sel],
-                       Dsf[cols_sel], interpret=interp)
+                       Dsf[cols_sel], interpret=interp, emit_carries=train)
+    if train:
+        y02, c02 = y02
+        y13, c13 = y13
     y_line = None
     if kind == "line":
         from tramba_tpu.ops.scan_orders import _line_dirs_list, _line_merge_dirs
@@ -461,11 +861,17 @@ def _folded_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
         dirs = _line_dirs_list(x_flat, H, W)  # 4 x (B, L, D), MXU one-hot matmuls
         ys_line = _fused_pallas(
             jnp.concatenate(dirs, axis=0), wx[4:], wdt[4:], bias[4:], A[4:], Dsf[4:],
-            K=4, R=dt_w.shape[-1], interpret=interp, k_major=True,
+            K=4, R=dt_w.shape[-1], interpret=interp, k_major=True, emit_carries=train,
         )
+        if train:
+            ys_line, c_line = ys_line
         y_line = _line_merge_dirs([ys_line[i * B : (i + 1) * B] for i in range(4)], H, W)
-    return _merge_pallas(y02, y13, y_line, ln_scale, ln_bias, w_out, H=H, W=W,
-                         interpret=interp)
+    out = _merge_pallas(y02, y13, y_line, ln_scale, ln_bias, w_out, H=H, W=W,
+                        interpret=interp, emit_ysum=train)
+    if train:
+        out, y_sum = out
+        return out, (y_sum, c02, c13, c_line)
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
@@ -473,23 +879,95 @@ def fused_ss2d_full(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
                     kind: str, H: int, W: int):
     """Direction-folded fused SS2D: raster cross-scan/merge live only as
     kernel index maps; merge + LayerNorm + GELU + out projection fused.
-    Forward-optimal; backward delegates to the composed path's VJP."""
+    Backward is native: the LN/GELU/proj adjoint runs over the saved pre-LN
+    direction sum, then one reverse-order kernel pass per direction family
+    recomputes intra-chunk state from the emitted boundary carries."""
     return _folded_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
                            w_out, kind, H, W)
 
 
 def _full_fwd(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out, kind, H, W):
-    out = fused_ss2d_full(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
-                          w_out, kind, H, W)
-    return out, (x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out)
+    out, (y_sum, c02, c13, c_line) = _folded_forward(
+        x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out, kind, H, W,
+        train=True,
+    )
+    return out, (x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out,
+                 y_sum, c02, c13, c_line)
 
 
 def _full_bwd(kind, H, W, res, g):
-    def oracle(*args):
-        return composed_ss2d_full(*args, kind=kind, H=H, W=W)
+    (x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out,
+     y_sum, c02, c13, c_line) = res
+    B, L, D = x_flat.shape
+    f32 = jnp.float32
+    interp = jax.default_backend() != "tpu"
+    A = -jnp.exp(A_logs.astype(f32))[..., 0]
+    wx, wdt = x_proj_w.astype(f32), dt_w.astype(f32)
+    bias, Dsf = dt_b.astype(f32), Ds.astype(f32)
 
-    _, vjp = jax.vjp(oracle, *res)
-    return vjp(g)
+    # LN + GELU + out-proj adjoint: one fused XLA pass over the saved sum
+    _, vjp_ln = jax.vjp(
+        lambda y, s, b, w: _ln_gelu_proj(y, s, b, w, x_flat.dtype),
+        y_sum, ln_scale, ln_bias, w_out,
+    )
+    gy, d_ln_scale, d_ln_bias, d_w_out = vjp_ln(g)
+    gimg = gy.reshape(B, H, W, D)
+    ximg = x_flat.reshape(B, H, W, D)
+
+    rows_sel = jnp.asarray([0, 2])
+    cols_sel = jnp.asarray([1, 3])
+    dx02, p02 = _rows_bwd_pallas(ximg, gimg, c02, wx[rows_sel], wdt[rows_sel],
+                                 bias[rows_sel], A[rows_sel], Dsf[rows_sel],
+                                 interpret=interp)
+    dx13, p13 = _cols_bwd_pallas(ximg, gimg, c13, wx[cols_sel], wdt[cols_sel],
+                                 bias[cols_sel], A[cols_sel], Dsf[cols_sel],
+                                 interpret=interp)
+    dx = dx02.sum(1).reshape(B, H, W, D)
+    dx = dx + dx13.sum(1).transpose(0, 2, 1, 3, 4).reshape(B, H, W, D)
+
+    r02 = [p.sum(0) for p in p02]  # (2, ...) per-direction weight grads
+    r13 = [p.sum(0) for p in p13]
+    ilv = lambda a, b: jnp.stack([a[0], b[0], a[1], b[1]], axis=0)  # K order 0,1,2,3
+    dwx = ilv(_assemble_wx(r02), _assemble_wx(r13))
+    dwdt = ilv(r02[3], r13[3])
+    dbias = ilv(r02[4][:, 0], r13[4][:, 0])
+    dA = ilv(r02[5][:, 0], r13[5][:, 0])
+    dDs = ilv(r02[6][:, 0], r13[6][:, 0])
+
+    if kind == "line":
+        from tramba_tpu.ops.scan_orders import _line_dirs_list, _line_merge_dirs
+
+        dirs, vjp_dirs = jax.vjp(
+            lambda xf: jnp.concatenate(_line_dirs_list(xf, H, W), axis=0), x_flat
+        )
+        zeros = tuple(jnp.zeros((B, L, D), f32) for _ in range(4))
+        _, vjp_merge = jax.vjp(lambda ys: _line_merge_dirs(list(ys), H, W), zeros)
+        (g_dirs,) = vjp_merge(gy.astype(f32))
+        g3 = jnp.concatenate(list(g_dirs), axis=0).astype(dirs.dtype)
+        dxs3, pl_line = _seq_bwd_pallas(
+            dirs, g3, c_line, wx[4:], wdt[4:], bias[4:], A[4:], Dsf[4:],
+            K=4, R=dt_w.shape[-1], interpret=interp, k_major=True,
+        )
+        (dx_line,) = vjp_dirs(dxs3)
+        dx = dx + dx_line.reshape(B, H, W, D)
+        rl = [p.reshape(4, B, *p.shape[1:]).sum(1) for p in pl_line]  # k-major rows
+        dwx = jnp.concatenate([dwx, _assemble_wx(rl)], axis=0)
+        dwdt = jnp.concatenate([dwdt, rl[3]], axis=0)
+        dbias = jnp.concatenate([dbias, rl[4][:, 0]], axis=0)
+        dA = jnp.concatenate([dA, rl[5][:, 0]], axis=0)
+        dDs = jnp.concatenate([dDs, rl[6][:, 0]], axis=0)
+
+    return (
+        dx.reshape(B, L, D).astype(x_flat.dtype),
+        dwx.astype(x_proj_w.dtype),
+        dwdt.astype(dt_w.dtype),
+        dbias.astype(dt_b.dtype),
+        ((dA * A)[..., None]).astype(A_logs.dtype),
+        dDs.astype(Ds.dtype),
+        d_ln_scale,
+        d_ln_bias,
+        d_w_out,
+    )
 
 
 fused_ss2d_full.defvjp(_full_fwd, _full_bwd)
@@ -510,24 +988,72 @@ fused_ss2d_full.defvjp(_full_fwd, _full_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _seq_rows(x_perm, wx, wdt, bias, A, Ds, interp):
-    """rows kernel over a flat (B, L, D) sequence via a 2-D view."""
-    B, L, D = x_perm.shape
+def _seq_width(L, D):
     Wc = 1
     for w in range(8, min(L, 512) + 1, 8):
         if L % w == 0 and w * 1 <= _seq_target(D):
             Wc = w
     if Wc == 1:
         Wc = L  # tiny sequences: single row
+    return Wc
+
+
+def _seq_rows(x_perm, wx, wdt, bias, A, Ds, interp, emit_carries=False):
+    """rows kernel over a flat (B, L, D) sequence via a 2-D view."""
+    B, L, D = x_perm.shape
+    Wc = _seq_width(L, D)
     view = x_perm.reshape(B, L // Wc, Wc, D)
-    ys = _rows_pallas(view, wx, wdt, bias, A, Ds, interpret=interp)
-    return ys.reshape(B, 2, L, D)
+    res = _rows_pallas(view, wx, wdt, bias, A, Ds, interpret=interp,
+                       emit_carries=emit_carries)
+    if emit_carries:
+        ys, carries = res
+        return ys.reshape(B, 2, L, D), carries
+    return res.reshape(B, 2, L, D)
+
+
+def _seq_rows_bwd(x_perm, g_seq, carries, wx, wdt, bias, A, Ds, interp):
+    """Backward of _seq_rows: returns (dx (B, L, D) summed over the two
+    directions, partials).  ``g_seq``: (B, L, D) — the same cotangent feeds
+    both directions (their outputs were summed)."""
+    B, L, D = x_perm.shape
+    Wc = _seq_width(L, D)
+    view = x_perm.reshape(B, L // Wc, Wc, D)
+    gview = g_seq.reshape(B, L // Wc, Wc, D)
+    dxv, partials = _rows_bwd_pallas(view, gview, carries, wx, wdt, bias, A, Ds,
+                                     interpret=interp)
+    return dxv.sum(1).reshape(B, L, D), partials
+
+
+def _freq_perms(kind: str, H: int, W: int, param: int):
+    """(permute fn x -> (xp, xpt), inverse-combine fn (sa, sb) -> y, sel_a, sel_b)."""
+    from tramba_tpu.ops import scan_orders as so
+
+    if kind == "dilation":
+        rate = param or 4
+
+        def perm(xf):
+            return so._phase_major(xf, rate), so._phase_major(so._t(xf, H, W), rate)
+
+        def inv(sa, sb):
+            return so._phase_major_inv(sa, rate) + so._t(so._phase_major_inv(sb, rate), W, H)
+
+        return perm, inv, jnp.asarray([0, 2]), jnp.asarray([1, 3])
+
+    ws = param
+
+    def perm(xf):
+        return (so._window_order(xf, H, W, ws),
+                so._window_order(so._t(xf, H, W), W, H, ws))
+
+    def inv(sa, sb):
+        return (so._window_order_inv(sa, H, W, ws)
+                + so._t(so._window_order_inv(sb, W, H, ws), W, H))
+
+    return perm, inv, jnp.asarray([0, 1]), jnp.asarray([2, 3])
 
 
 def _folded_freq_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out,
-                         kind: str, H: int, W: int, param: int):
-    from tramba_tpu.ops import scan_orders as so
-
+                         kind: str, H: int, W: int, param: int, train: bool = False):
     B, L, D = x_flat.shape
     interp = jax.default_backend() != "tpu"
     f32 = jnp.float32
@@ -535,27 +1061,23 @@ def _folded_freq_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_
     wx, wdt = x_proj_w.astype(f32), dt_w.astype(f32)
     bias, Dsf = dt_b.astype(f32), Ds.astype(f32)
 
-    xt = so._t(x_flat, H, W)
-    if kind == "dilation":
-        rate = param or 4
-        xp = so._phase_major(x_flat, rate)
-        xpt = so._phase_major(xt, rate)
-        sel_a, sel_b = jnp.asarray([0, 2]), jnp.asarray([1, 3])
-    else:  # window
-        ws = param
-        xp = so._window_order(x_flat, H, W, ws)
-        xpt = so._window_order(xt, W, H, ws)
-        sel_a, sel_b = jnp.asarray([0, 1]), jnp.asarray([2, 3])
-
-    ys_a = _seq_rows(xp, wx[sel_a], wdt[sel_a], bias[sel_a], A[sel_a], Dsf[sel_a], interp)
-    ys_b = _seq_rows(xpt, wx[sel_b], wdt[sel_b], bias[sel_b], A[sel_b], Dsf[sel_b], interp)
+    perm, inv, sel_a, sel_b = _freq_perms(kind, H, W, param)
+    xp, xpt = perm(x_flat)
+    ca = cb = None
+    ys_a = _seq_rows(xp, wx[sel_a], wdt[sel_a], bias[sel_a], A[sel_a], Dsf[sel_a], interp,
+                     emit_carries=train)
+    ys_b = _seq_rows(xpt, wx[sel_b], wdt[sel_b], bias[sel_b], A[sel_b], Dsf[sel_b], interp,
+                     emit_carries=train)
+    if train:
+        ys_a, ca = ys_a
+        ys_b, cb = ys_b
     sa = (ys_a[:, 0] + ys_a[:, 1]).astype(f32)
     sb = (ys_b[:, 0] + ys_b[:, 1]).astype(f32)
-    if kind == "dilation":
-        y = so._phase_major_inv(sa, rate) + so._t(so._phase_major_inv(sb, rate), W, H)
-    else:
-        y = so._window_order_inv(sa, H, W, ws) + so._t(so._window_order_inv(sb, W, H, ws), W, H)
-    return _ln_gelu_proj(y, ln_scale, ln_bias, w_out, x_flat.dtype)
+    y = inv(sa, sb)
+    out = _ln_gelu_proj(y, ln_scale, ln_bias, w_out, x_flat.dtype)
+    if train:
+        return out, (y, ca, cb)
+    return out
 
 
 def composed_ss2d_full_p(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out,
@@ -578,17 +1100,64 @@ def fused_ss2d_freq(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
 
 def _freq_fwd(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out,
               kind, H, W, param):
-    out = fused_ss2d_freq(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
-                          w_out, kind, H, W, param)
-    return out, (x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out)
+    out, (y, ca, cb) = _folded_freq_forward(
+        x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out,
+        kind, H, W, param, train=True,
+    )
+    return out, (x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out,
+                 y, ca, cb)
 
 
 def _freq_bwd(kind, H, W, param, res, g):
-    def oracle(*args):
-        return composed_ss2d_full_p(*args, kind=kind, H=H, W=W, param=param)
+    (x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out, y, ca, cb) = res
+    B, L, D = x_flat.shape
+    f32 = jnp.float32
+    interp = jax.default_backend() != "tpu"
+    A = -jnp.exp(A_logs.astype(f32))[..., 0]
+    wx, wdt = x_proj_w.astype(f32), dt_w.astype(f32)
+    bias, Dsf = dt_b.astype(f32), Ds.astype(f32)
 
-    _, vjp = jax.vjp(oracle, *res)
-    return vjp(g)
+    _, vjp_ln = jax.vjp(
+        lambda yy, s, b, w: _ln_gelu_proj(yy, s, b, w, x_flat.dtype),
+        y, ln_scale, ln_bias, w_out,
+    )
+    gy, d_ln_scale, d_ln_bias, d_w_out = vjp_ln(g)
+
+    perm, inv, sel_a, sel_b = _freq_perms(kind, H, W, param)
+    (xp, xpt), vjp_perm = jax.vjp(perm, x_flat)
+    zero = jnp.zeros((B, L, D), f32)
+    _, vjp_inv = jax.vjp(inv, zero, zero)
+    gsa, gsb = vjp_inv(gy.astype(f32))
+
+    dxp, pa = _seq_rows_bwd(xp, gsa.astype(xp.dtype), ca, wx[sel_a], wdt[sel_a],
+                            bias[sel_a], A[sel_a], Dsf[sel_a], interp)
+    dxpt, pb = _seq_rows_bwd(xpt, gsb.astype(xpt.dtype), cb, wx[sel_b], wdt[sel_b],
+                             bias[sel_b], A[sel_b], Dsf[sel_b], interp)
+    (dx,) = vjp_perm((dxp, dxpt))
+
+    ra = [p.sum(0) for p in pa]  # (2, ...)
+    rb = [p.sum(0) for p in pb]
+    if kind == "dilation":  # sel_a = [0, 2], sel_b = [1, 3]
+        mix = lambda a, b: jnp.stack([a[0], b[0], a[1], b[1]], axis=0)
+    else:  # window: sel_a = [0, 1], sel_b = [2, 3]
+        mix = lambda a, b: jnp.concatenate([a, b], axis=0)
+    dwx = mix(_assemble_wx(ra), _assemble_wx(rb))
+    dwdt = mix(ra[3], rb[3])
+    dbias = mix(ra[4][:, 0], rb[4][:, 0])
+    dA = mix(ra[5][:, 0], rb[5][:, 0])
+    dDs = mix(ra[6][:, 0], rb[6][:, 0])
+
+    return (
+        dx.astype(x_flat.dtype),
+        dwx.astype(x_proj_w.dtype),
+        dwdt.astype(dt_w.dtype),
+        dbias.astype(dt_b.dtype),
+        ((dA * A)[..., None]).astype(A_logs.dtype),
+        dDs.astype(Ds.dtype),
+        d_ln_scale,
+        d_ln_bias,
+        d_w_out,
+    )
 
 
 fused_ss2d_freq.defvjp(_freq_fwd, _freq_bwd)
