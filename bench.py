@@ -1,6 +1,8 @@
 """Benchmark: flagship Tramba-V 384px inference throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} — the
+extra keys record the chip's measured HBM copy roofline and where the model
+sits against it (the full kit is scripts/roofline.py).
 Baseline target: 500 images/sec/chip @ 384px (BASELINE.md).
 
 Note: on the tunneled axon backend, block_until_ready does not synchronize;
@@ -13,8 +15,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+from tramba_tpu.utils.cache import enable_compilation_cache
+
 
 def main():
+    enable_compilation_cache()
     from tramba_tpu.models.tramba import TrambaV
 
     batch = 16
@@ -46,6 +51,16 @@ def main():
     dt = (time.time() - t0) / iters
     ips = batch / dt
 
+    # measured HBM copy roofline on THIS chip (see scripts/roofline.py) and
+    # the model's achieved traffic against it: the forward moves ~2 bytes/elem
+    # x ~(1 + 2K + 0.5) passes over each SS2D block's (B, L, D) activations;
+    # use the committed probe rather than quoting the spec sheet
+    import scripts.roofline as rl
+
+    hbm_gbs, _ = rl.measure_hbm_bandwidth(mbytes=128)
+    seg_rows, seg_total = rl.measure_segments(B=batch, dtype=dtype, hbm_gbs=hbm_gbs)
+    kernel_frac = sum(r["ms_per_call"] * r["blocks"] for r in seg_rows) / (dt * 1e3)
+
     print(
         json.dumps(
             {
@@ -53,6 +68,10 @@ def main():
                 "value": round(ips, 2),
                 "unit": "img/s",
                 "vs_baseline": round(ips / 500.0, 4),
+                "hbm_copy_gbps_measured": round(hbm_gbs, 1),
+                "ss2d_kernel_ms": round(seg_total * 1e3, 2),
+                "model_ms": round(dt * 1e3, 2),
+                "ss2d_fraction": round(kernel_frac, 3),
             }
         )
     )

@@ -71,6 +71,11 @@ if __name__ == "__main__":
 
     args = parser.parse_args()
     assert args.method is not None
+    from tramba_tpu.parallel.distributed import initialize_from_args
+
+    if initialize_from_args(args.init_method):
+        print(f"multi-host: process {jax.process_index()}/{jax.process_count()}, "
+              f"{len(jax.devices())} global devices")
     resolve_pretrained(args)
     enable_compilation_cache()
 

@@ -186,6 +186,9 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--skip-model", action="store_true")
     args = ap.parse_args()
+    from tramba_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     gbs, _ = measure_hbm_bandwidth()

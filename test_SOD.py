@@ -11,6 +11,7 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 from tramba_tpu.eval.dump import dump_saliency_maps
 from tramba_tpu.models.registry import build
+from tramba_tpu.utils.cache import enable_compilation_cache
 from tramba_tpu.train.checkpoint import load_params_any
 
 
@@ -31,6 +32,7 @@ def test(args):
 
 
 if __name__ == "__main__":
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--method", default="Tramba-V-SOD", type=str)
     parser.add_argument("--resume", required=True, type=str, help="checkpoint (Orbax dir or .pth)")

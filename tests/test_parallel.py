@@ -70,6 +70,31 @@ def test_sequence_parallel_linear_scan():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
 
 
+def test_model_level_sequence_parallel_768px():
+    """768px BaseUMamba forward with ssm_backend='seq_parallel': the pixel
+    sequence shards over the 8-device mesh (SURVEY §5.7 lifted to a model
+    capability) and matches the single-device composed result."""
+    from tramba_tpu.models.tramba import BaseUMamba
+    from tramba_tpu.parallel.seq_scan import use_sequence_mesh
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 768, 768, 3)).astype(np.float32))
+
+    def build(backend):
+        return BaseUMamba(img_size=768, dims=8, enc_depths=(1, 1, 1, 1),
+                          dec_depths=(1, 1, 1, 1), ssm_backend=backend)
+
+    variables = build("assoc").init(jax.random.key(0), x[:, :64, :64])
+    want = build("assoc").apply(variables, x)
+
+    mesh = make_mesh(("seq",))
+    with use_sequence_mesh(mesh, "seq"):
+        got = jax.jit(lambda v, a: build("seq_parallel").apply(v, a))(variables, x)
+        got = jax.tree.map(np.asarray, got)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-4)
+
+
 def test_training_overfits_tiny_batch():
     """Repeated steps on one batch must drive the loss down (optimizer sanity)."""
     from tramba_tpu.models.tramba import TrambaV

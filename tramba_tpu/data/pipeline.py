@@ -114,7 +114,13 @@ class BatchLoader:
 
     def __init__(self, dataset: SODDataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, num_threads: int = 8, drop_last: bool = False,
-                 prefetch: int = 4):
+                 prefetch: int = 4, shard_rank: int = 0, shard_count: int = 1):
+        """``batch_size`` is the GLOBAL batch; with ``shard_count`` > 1 each
+        host deterministically loads only its contiguous slice of every
+        global batch (multi-host DCN data parallelism — every host computes
+        the identical global permutation from the shared seed)."""
+        if shard_count > 1:
+            assert batch_size % shard_count == 0, (batch_size, shard_count)
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -122,6 +128,8 @@ class BatchLoader:
         self.num_threads = num_threads
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.shard_rank = shard_rank
+        self.shard_count = shard_count
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -133,8 +141,13 @@ class BatchLoader:
         if self.shuffle:
             np.random.default_rng(self.seed + self._epoch).shuffle(idx)
         out = [list(idx[i : i + self.batch_size]) for i in range(0, len(idx), self.batch_size)]
-        if self.drop_last and out and len(out[-1]) < self.batch_size:
+        if (self.drop_last or self.shard_count > 1) and out and len(out[-1]) < self.batch_size:
+            # multi-host: a ragged global batch cannot split evenly -> drop it
             out.pop()
+        if self.shard_count > 1:
+            per = self.batch_size // self.shard_count
+            lo = self.shard_rank * per
+            out = [b[lo : lo + per] for b in out]
         return out
 
     def __iter__(self) -> Iterator[Dict]:

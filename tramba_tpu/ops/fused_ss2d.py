@@ -548,7 +548,9 @@ def _bwd_chunk_math(R, prec, k_is_fwd, x, g, carry_fwd, lam_in, wx, wdt, bias, A
 
     x, g: (T, D); carry_fwd: (1, D) h entering this chunk in scan order;
     lam_in: (1, D) lam carry from the previously processed (scan-later) chunk.
-    ``k_is_fwd``: traced bool — True if this direction scans ascending.
+    ``k_is_fwd``: STATIC bool — True if this direction scans ascending (a
+    traced cond here would make Mosaic stack-allocate both branches and blow
+    the scoped-VMEM limit at the 96x96 stages).
     Returns (dx, lam_out, partials) with partials
     (p_wx_dt (R,D), p_wx_B (1,D), p_wx_C (1,D), p_wdt (D,R), p_bias, p_A, p_D).
     """
@@ -585,10 +587,7 @@ def _bwd_chunk_math(R, prec, k_is_fwd, x, g, carry_fwd, lam_in, wx, wdt, bias, A
         lam = lp + Ar * lam_in
         return h, h_prev, lam, a[T - 1 :] * lam[T - 1 :]
 
-    if k_is_fwd is True:  # static forward-only direction (pre-permuted sequences)
-        h, h_prev, lam, lam_out = fwd_dir(None)
-    else:
-        h, h_prev, lam, lam_out = jax.lax.cond(k_is_fwd, fwd_dir, rev_dir, None)
+    h, h_prev, lam, lam_out = fwd_dir(None) if k_is_fwd else rev_dir(None)
 
     daA = lam * h_prev * a  # da * a
     ddelta = daA * A + lam * x * Bc
@@ -612,23 +611,25 @@ def _bwd_chunk_math(R, prec, k_is_fwd, x, g, carry_fwd, lam_in, wx, wdt, bias, A
 
 
 def _accumulate_partials(t, partial_refs, partials):
+    """Accumulate weight-grad partials across the (innermost) t grid axis;
+    every t maps to the same output block, so it stays resident in VMEM."""
+
     @pl.when(t == 0)
     def _():
         for ref, val in zip(partial_refs, partials):
-            ref[0, 0] = val
+            ref[0] = val
 
     @pl.when(t > 0)
     def _():
         for ref, val in zip(partial_refs, partials):
-            ref[0, 0] += val
+            ref[0] += val
 
 
-def _dirs_bwd_kernel(R, transposed, hi, x_ref, g_ref, cin_ref, wx_ref, wdt_ref, bias_ref,
-                     A_ref, Ds_ref, dx_ref, *rest):
+def _dirs_bwd_kernel(R, transposed, hi, k_is_fwd, x_ref, g_ref, cin_ref, wx_ref, wdt_ref,
+                     bias_ref, A_ref, Ds_ref, dx_ref, *rest):
     partial_refs, lam_carry = rest[:-1], rest[-1]
     prec = jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT
-    k = pl.program_id(1)
-    t = pl.program_id(2)
+    t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
@@ -645,7 +646,7 @@ def _dirs_bwd_kernel(R, transposed, hi, x_ref, g_ref, cin_ref, wx_ref, wdt_ref, 
     g = gblk.reshape(T, -1).astype(jnp.float32)
 
     dx, lam_out, partials = _bwd_chunk_math(
-        R, prec, k == 0, x, g, cin_ref[0, 0, 0], lam_carry[...],
+        R, prec, k_is_fwd, x, g, cin_ref[0, 0, 0], lam_carry[...],
         wx_ref[0].astype(jnp.float32), wdt_ref[0].astype(jnp.float32),
         bias_ref[0].astype(jnp.float32), A_ref[0].astype(jnp.float32),
         Ds_ref[0].astype(jnp.float32),
@@ -658,13 +659,58 @@ def _dirs_bwd_kernel(R, transposed, hi, x_ref, g_ref, cin_ref, wx_ref, wdt_ref, 
     _accumulate_partials(t, partial_refs, partials)
 
 
-def _bwd_partial_outputs(B, C, D, R):
-    """(out_shape, out_spec) pairs for the 7 per-(b, k) weight-grad partials."""
-    par_out = lambda *s: pl.BlockSpec((1, 1) + s, lambda b, k, t: (b, k) + (0,) * len(s),
-                                      memory_space=pltpu.VMEM)
-    shapes = [(R, D), (1, D), (1, D), (D, R), (1, D), (1, D), (1, D)]
-    return ([jax.ShapeDtypeStruct((B, 2) + s, jnp.float32) for s in shapes],
-            [par_out(*s) for s in shapes])
+_P_SHAPES = lambda C, D, R: [(R, D), (1, D), (1, D), (D, R), (1, D), (1, D), (1, D)]
+
+
+def _dirs_bwd_call(ximg, gimg, carries, wx, wdt, bias, A, Ds, transposed, blk_shape,
+                   nT, interpret):
+    """One static-direction backward pallas_call per direction; outputs
+    stacked to the forward's (B, 2, nT, ...) layout.  Splitting directions
+    into separate calls (instead of a traced cond) halves live VMEM."""
+    B, D = ximg.shape[0], ximg.shape[-1]
+    R = wdt.shape[-1]
+    C = wx.shape[1]
+    hi = ximg.dtype == jnp.float32
+    p_shapes = _P_SHAPES(C, D, R)
+    outs = []
+    for k in (0, 1):
+        # mirror of the forward visiting order: the forward-scanning direction
+        # (k=0) is processed nT-1..0 here, the reversed one (k=1) 0..nT-1
+        cmap = (lambda t: nT - 1 - t) if k == 0 else (lambda t: t)
+        if transposed:
+            jmap_x = lambda b, t, _c=cmap: (b, 0, _c(t), 0)
+        else:
+            jmap_x = lambda b, t, _c=cmap: (b, _c(t), 0, 0)
+        spec_x = pl.BlockSpec((1,) + blk_shape, jmap_x, memory_space=pltpu.VMEM)
+        par = lambda *s, _k=k: pl.BlockSpec(
+            (1,) + s, lambda b, t, _kk=_k: (_kk,) + (0,) * len(s), memory_space=pltpu.VMEM)
+        par_out = lambda *s: pl.BlockSpec((1,) + s, lambda b, t: (b,) + (0,) * len(s),
+                                          memory_space=pltpu.VMEM)
+        cin_spec = pl.BlockSpec((1, 1, 1, 1, D),
+                                lambda b, t, _c=cmap, _k=k: (b, _k, _c(t), 0, 0),
+                                memory_space=pltpu.VMEM)
+        dx_spec = pl.BlockSpec((1, 1, 1) + blk_shape,
+                               lambda b, t, _c=cmap: (b, 0, _c(t)) + (0,) * len(blk_shape),
+                               memory_space=pltpu.VMEM)
+        res = pl.pallas_call(
+            functools.partial(_dirs_bwd_kernel, R, transposed, hi, k == 0),
+            out_shape=[jax.ShapeDtypeStruct((B, 1, nT) + blk_shape, ximg.dtype)]
+            + [jax.ShapeDtypeStruct((B,) + s, jnp.float32) for s in p_shapes],
+            grid=(B, nT),
+            in_specs=[spec_x, spec_x, cin_spec, par(C, D), par(D, R), par(1, D),
+                      par(1, D), par(1, D)],
+            out_specs=[dx_spec] + [par_out(*s) for s in p_shapes],
+            scratch_shapes=[pltpu.VMEM((1, D), jnp.float32)],
+            # the adjoint holds ~2x the forward's live chunk state; the
+            # default 16MB scoped limit trips at the 96x96/D=256 stages
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(ximg, gimg, carries, wx, wdt, bias[:, None, :], A[:, None, :], Ds[:, None, :])
+        outs.append(res)
+    dx = jnp.concatenate([outs[0][0], outs[1][0]], axis=1)  # (B, 2, nT, ...)
+    partials = tuple(jnp.stack([a, b], axis=1)
+                     for a, b in zip(outs[0][1:], outs[1][1:]))  # (B, 2, ...)
+    return dx, partials
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -672,36 +718,8 @@ def _rows_bwd_pallas(ximg, gimg, carries, wx, wdt, bias, A, Ds, interpret=False)
     """Backward of _rows_pallas.  Returns (dx (B,2,nT,Tr,W,D), 7 partials (B,2,...))."""
     B, H, W, D = ximg.shape
     Tr = _row_chunk(H, W, D)
-    nT = H // Tr
-    R = wdt.shape[-1]
-    C = wx.shape[1]
-    # mirror of the forward visiting order: dir 0 processed nT-1..0, dir 1 0..nT-1
-    jmap = lambda b, k, t: (b, jnp.where(k == 0, nT - 1 - t, t), 0, 0)
-    spec_x = pl.BlockSpec((1, Tr, W, D), jmap, memory_space=pltpu.VMEM)
-    par = lambda *s: pl.BlockSpec((1,) + s, lambda b, k, t: (k,) + (0,) * len(s),
-                                  memory_space=pltpu.VMEM)
-    cin_spec = pl.BlockSpec(
-        (1, 1, 1, 1, D),
-        lambda b, k, t: (b, k, jnp.where(k == 0, nT - 1 - t, t), 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    dx_spec = pl.BlockSpec(
-        (1, 1, 1, Tr, W, D),
-        lambda b, k, t: (b, k, jnp.where(k == 0, nT - 1 - t, t), 0, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    p_shapes, p_specs = _bwd_partial_outputs(B, C, D, R)
-    res = pl.pallas_call(
-        functools.partial(_dirs_bwd_kernel, R, False, ximg.dtype == jnp.float32),
-        out_shape=[jax.ShapeDtypeStruct((B, 2, nT, Tr, W, D), ximg.dtype)] + p_shapes,
-        grid=(B, 2, nT),
-        in_specs=[spec_x, spec_x, cin_spec, par(C, D), par(D, R), par(1, D), par(1, D),
-                  par(1, D)],
-        out_specs=[dx_spec] + p_specs,
-        scratch_shapes=[pltpu.VMEM((1, D), jnp.float32)],
-        interpret=interpret,
-    )(ximg, gimg, carries, wx, wdt, bias[:, None, :], A[:, None, :], Ds[:, None, :])
-    return res[0], res[1:]
+    return _dirs_bwd_call(ximg, gimg, carries, wx, wdt, bias, A, Ds, False,
+                          (Tr, W, D), H // Tr, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -709,35 +727,8 @@ def _cols_bwd_pallas(ximg, gimg, carries, wx, wdt, bias, A, Ds, interpret=False)
     """Backward of _cols_pallas.  Returns (dx (B,2,nT,H,Tc,D), partials)."""
     B, H, W, D = ximg.shape
     Tc = _col_chunk(W, H, D)
-    nT = W // Tc
-    R = wdt.shape[-1]
-    C = wx.shape[1]
-    jmap = lambda b, k, t: (b, 0, jnp.where(k == 0, nT - 1 - t, t), 0)
-    spec_x = pl.BlockSpec((1, H, Tc, D), jmap, memory_space=pltpu.VMEM)
-    par = lambda *s: pl.BlockSpec((1,) + s, lambda b, k, t: (k,) + (0,) * len(s),
-                                  memory_space=pltpu.VMEM)
-    cin_spec = pl.BlockSpec(
-        (1, 1, 1, 1, D),
-        lambda b, k, t: (b, k, jnp.where(k == 0, nT - 1 - t, t), 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    dx_spec = pl.BlockSpec(
-        (1, 1, 1, H, Tc, D),
-        lambda b, k, t: (b, k, jnp.where(k == 0, nT - 1 - t, t), 0, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    p_shapes, p_specs = _bwd_partial_outputs(B, C, D, R)
-    res = pl.pallas_call(
-        functools.partial(_dirs_bwd_kernel, R, True, ximg.dtype == jnp.float32),
-        out_shape=[jax.ShapeDtypeStruct((B, 2, nT, H, Tc, D), ximg.dtype)] + p_shapes,
-        grid=(B, 2, nT),
-        in_specs=[spec_x, spec_x, cin_spec, par(C, D), par(D, R), par(1, D), par(1, D),
-                  par(1, D)],
-        out_specs=[dx_spec] + p_specs,
-        scratch_shapes=[pltpu.VMEM((1, D), jnp.float32)],
-        interpret=interpret,
-    )(ximg, gimg, carries, wx, wdt, bias[:, None, :], A[:, None, :], Ds[:, None, :])
-    return res[0], res[1:]
+    return _dirs_bwd_call(ximg, gimg, carries, wx, wdt, bias, A, Ds, True,
+                          (H, Tc, D), W // Tc, interpret)
 
 
 def _seq_bwd_kernel(R, hi, L, x_ref, g_ref, cin_ref, wx_ref, wdt_ref, bias_ref, A_ref,
@@ -812,6 +803,7 @@ def _seq_bwd_pallas(xs3, g3, carries, wx, wdt, bias, A, Ds, K: int, R: int,
         ],
         out_specs=[seq_spec] + [par_out(*s) for s in p_shapes],
         scratch_shapes=[pltpu.VMEM((1, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xs3, g3, carries, wx, wdt, bias[:, None, :], A[:, None, :], Ds[:, None, :])
     return res[0], res[1:]

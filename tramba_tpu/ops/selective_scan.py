@@ -118,6 +118,18 @@ def _linear_scan_seq(a, b):
 
 
 def _linear_scan_impl(a, b, backend: Optional[str]):
+    if backend == "seq_parallel":
+        # L-axis sharded over the ambient mesh (ICI): per-device local scans
+        # + an associative carry prefix over the mesh axis (SURVEY §5.7)
+        from tramba_tpu.parallel.seq_scan import (
+            current_sequence_mesh,
+            sequence_parallel_linear_scan,
+        )
+
+        mesh, axis_name = current_sequence_mesh()
+        return sequence_parallel_linear_scan(
+            a.astype(jnp.float32), b.astype(jnp.float32), mesh, axis_name
+        )
     if backend == "seq":
         return _linear_scan_seq(a, b)
     if backend == "fake":

@@ -17,6 +17,8 @@ cumulative product of a.
 
 from __future__ import annotations
 
+import contextlib
+import threading
 from typing import Optional
 
 import jax
@@ -25,7 +27,35 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from tramba_tpu.ops.selective_scan import linear_scan
 
-__all__ = ["sequence_parallel_linear_scan"]
+__all__ = ["sequence_parallel_linear_scan", "use_sequence_mesh", "current_sequence_mesh"]
+
+_ctx = threading.local()
+
+
+@contextlib.contextmanager
+def use_sequence_mesh(mesh: Mesh, axis_name: str = "seq"):
+    """Route ``ssm_backend='seq_parallel'`` models through this mesh axis.
+
+    Model code never sees the mesh; SS2D just passes backend='seq_parallel'
+    to linear_scan, which picks the ambient mesh up from here (the flag that
+    lifts SURVEY §5.7 from an op demo to a model capability).
+    """
+    prev = getattr(_ctx, "mesh", None)
+    _ctx.mesh = (mesh, axis_name)
+    try:
+        yield
+    finally:
+        _ctx.mesh = prev
+
+
+def current_sequence_mesh():
+    cur = getattr(_ctx, "mesh", None)
+    if cur is None:
+        raise RuntimeError(
+            "ssm_backend='seq_parallel' requires an ambient mesh: wrap the call in "
+            "tramba_tpu.parallel.seq_scan.use_sequence_mesh(mesh, axis_name)"
+        )
+    return cur
 
 
 def _combine(left, right):

@@ -134,8 +134,19 @@ def evaluate_in_loop(state, eval_step, data_root: str, img_size: int, batch_size
 
 def fit(args, model, variables, train_loader, tb_writer=None):
     n_dev = len(jax.devices())
-    use_mesh = args.batch_size % n_dev == 0 and n_dev > 1
-    mesh = make_mesh(("data",)) if use_mesh else None
+    n_proc = jax.process_count()
+    multihost = n_proc > 1
+    if multihost:
+        # DCN-spanning data parallelism: global mesh over every host's chips;
+        # each host feeds its slice of the global batch (SURVEY §2.11)
+        from tramba_tpu.parallel.distributed import global_data_mesh, host_shard_batch
+
+        mesh = global_data_mesh()
+        local_bs = args.batch_size // n_proc
+    else:
+        use_mesh = args.batch_size % n_dev == 0 and n_dev > 1
+        mesh = make_mesh(("data",)) if use_mesh else None
+        local_bs = args.batch_size
 
     steps_per_epoch = max(1, len(train_loader))
     decay_epochs = list(map(int, str(args.decay_epochs).split("-")))
@@ -173,11 +184,13 @@ def fit(args, model, variables, train_loader, tb_writer=None):
         n_steps = 0
         for batch in train_loader:
             n_real = batch["image"].shape[0]
-            images = _pad_batch(batch["image"], args.batch_size)
-            gts = _pad_batch(batch["gt"], args.batch_size)
-            valid = np.zeros((args.batch_size,), np.float32)
+            images = _pad_batch(batch["image"], local_bs)
+            gts = _pad_batch(batch["gt"], local_bs)
+            valid = np.zeros((local_bs,), np.float32)
             valid[:n_real] = 1.0
-            if mesh is not None:
+            if multihost:
+                images, gts, valid = host_shard_batch((images, gts, valid), mesh)
+            elif mesh is not None:
                 images, gts = shard_batch(images, mesh), shard_batch(gts, mesh)
                 valid = shard_batch(valid, mesh)
             else:
@@ -191,13 +204,25 @@ def fit(args, model, variables, train_loader, tb_writer=None):
         print(f"Epoch [{epoch + 1:03d}/{args.train_epochs:03d}] loss {loss:.4f} "
               f"lr {lr:.2e} ({time.time() - t0:.1f}s)")
 
-        if epoch + 1 >= args.see:
-            results = evaluate_in_loop(state, eval_step, args.evaluation_root, args.img_size)
+        if epoch + 1 >= args.see and jax.process_index() == 0:
+            eval_state = state
+            if multihost:
+                # host-local eval on the lead process: fetch the addressable
+                # replica so eval_step compiles a plain single-host program
+                from tramba_tpu.parallel.distributed import local_replica
+
+                eval_state = state.replace(
+                    params=jax.tree.map(jnp.asarray, local_replica(state.params)),
+                    model_state=jax.tree.map(jnp.asarray, local_replica(state.model_state)),
+                )
+            results = evaluate_in_loop(eval_state, eval_step, args.evaluation_root, args.img_size)
             record(args, tb_writer, results, epoch, args.train_epochs, loss, lr)
             if best_mae is None or results["MAE"] < best_mae:
                 ckpt.save_params(ckpt.best_mae_path(save_dir, args.method, results["MAE"], epoch),
-                                 {"params": jax.tree.map(np.asarray, state.params)})
-            if (epoch + 1) % 5 == 0:
+                                 {"params": jax.tree.map(np.asarray, eval_state.params)})
+            if (epoch + 1) % 5 == 0 and not multihost:
+                # multihost resume would need a process-coordinated Orbax
+                # save; best-MAE params above already cover recovery
                 ckpt.save_resume(os.path.join(save_dir, f"{args.method}_resume"), state, epoch)
     return state
 
@@ -255,5 +280,6 @@ def training(args):
     variables = init_model(args, model)
     ds = SODDataset(args.data_root, ["Train"], args.img_size, mode="train")
     loader = BatchLoader(ds, batch_size=args.batch_size, shuffle=True, seed=1026,
-                         num_threads=8, drop_last=False)
+                         num_threads=8, drop_last=False,
+                         shard_rank=jax.process_index(), shard_count=jax.process_count())
     return fit(args, model, variables, loader, tb_writer)
