@@ -25,17 +25,22 @@ def main():
     ap.add_argument("--img", type=int, default=384)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--dims", type=int, default=128)
     args = ap.parse_args()
     enable_compilation_cache()
+
+    import numpy as np
 
     from tramba_tpu.models.tramba import TrambaV
     from tramba_tpu.train.optim import make_optimizer
     from tramba_tpu.train.step import create_train_state, make_train_step
 
     dtype = jnp.dtype(args.dtype)
-    model = TrambaV(img_size=args.img, dtype=dtype)
-    x = jnp.zeros((args.batch, args.img, args.img, 3), jnp.float32)
-    gts = jnp.zeros((args.batch, args.img, args.img, 1), jnp.float32)
+    model = TrambaV(img_size=args.img, dims=args.dims, dtype=dtype)
+    rng0 = np.random.default_rng(0)
+    x = jnp.asarray(rng0.normal(size=(args.batch, args.img, args.img, 3)).astype(np.float32))
+    gts = jnp.asarray((rng0.uniform(size=(args.batch, args.img, args.img, 1)) > 0.5)
+                      .astype(np.float32))
     t0 = time.time()
     variables = jax.jit(lambda k: model.init(k, x))(jax.random.key(0))
     tx = make_optimizer(1e-4, [60], [0.2], 100)
@@ -47,17 +52,19 @@ def main():
     loss0 = float(m["loss"])
     print(f"compile+first step: {time.time() - t0:.1f}s, loss {loss0:.4f}")
 
+    losses = []
     for _ in range(2):
         state, m = step(state, x, gts, rng)
-    float(m["loss"])
+        losses.append(float(m["loss"]))
     t0 = time.time()
     for _ in range(args.iters):
         state, m = step(state, x, gts, rng)
     lossN = float(m["loss"])
+    losses.append(lossN)
     dt = (time.time() - t0) / args.iters
-    assert jnp.isfinite(lossN), "loss went non-finite"
     print(f"train step: {dt * 1e3:.0f} ms/step (batch {args.batch} @ {args.img}px, "
-          f"{args.dtype}); loss {lossN:.4f}")
+          f"{args.dtype}); losses {['%.4f' % l for l in losses]}")
+    assert jnp.isfinite(lossN), "loss went non-finite"
 
 
 if __name__ == "__main__":

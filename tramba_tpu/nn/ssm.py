@@ -137,11 +137,13 @@ class SS2D(nn.Module):
         Ds = self.param("Ds", nn.initializers.ones, (K, d_inner))
 
         on_tpu = jax.default_backend() == "tpu"
+        # backend None: kernels on TPU, composed elsewhere.  backend='pallas':
+        # force the kernels even off-TPU (interpret mode — slow, test-only).
+        kernel_ok = self.backend == "pallas" or (self.backend is None and on_tpu)
         use_folded = (
             N == 1
             and self.scan_kind in ("raster", "line", "dilation", "window")
-            and self.backend in (None, "pallas")
-            and on_tpu
+            and kernel_ok
             and not self.bias  # out_proj bias would need a kernel variant (never used)
             and not (self.scan_kind == "dilation" and L % (self.scan_param or 4) != 0)
         )
@@ -162,7 +164,7 @@ class SS2D(nn.Module):
                 )
         else:
             xs = cross_scan(x.reshape(B, L, d_inner), self.scan_kind, H, W, self.scan_param)
-            if N == 1 and self.backend in (None, "pallas") and on_tpu:
+            if N == 1 and kernel_ok:
                 ys = fused_ss2d_core(xs, x_proj_w, dt_w, dt_b, A_logs, Ds)
             elif N == 1:
                 ys = composed_ss2d_core(xs, x_proj_w, dt_w, dt_b, A_logs, Ds, backend=self.backend)
