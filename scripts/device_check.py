@@ -108,6 +108,39 @@ def main():
         for n, a, b in zip(("dx", "dwx"), gf, gc):
             ok &= _check(f"freq {kind} grad {n}", a, b, 5e-3)
 
+    # per-block FFN megakernels + SS2D prologue
+    from tramba_tpu.ops.fused_mlp import (
+        composed_ln_dwmsmlp, composed_ln_mlp, fused_ln_dwmsmlp, fused_ln_mlp,
+    )
+    from tramba_tpu.ops.fused_prologue import composed_prologue, fused_prologue
+
+    rng = np.random.default_rng(3)
+    D, Hd = 128, 512
+    x = jnp.asarray(rng.normal(size=(2, 96, D)).astype(np.float32))
+    margs = (x, jnp.asarray((rng.normal(size=(D,)) * 0.1 + 1).astype(np.float32)),
+             jnp.asarray((rng.normal(size=(D,)) * 0.1).astype(np.float32)),
+             jnp.asarray((rng.normal(size=(D, Hd)) * 0.1).astype(np.float32)),
+             jnp.asarray((rng.normal(size=(Hd,)) * 0.1).astype(np.float32)),
+             jnp.asarray((rng.normal(size=(Hd, D)) * 0.1).astype(np.float32)),
+             jnp.asarray((rng.normal(size=(D,)) * 0.1).astype(np.float32)))
+    ok &= _check("ln+mlp fwd", jax.jit(fused_ln_mlp)(*margs),
+                 jax.jit(composed_ln_mlp)(*margs), 1e-3)
+
+    xi = jnp.asarray(rng.normal(size=(2, 24, 24, D)).astype(np.float32))
+    convs = []
+    for k in (3, 5, 7):
+        convs.append(jnp.asarray((rng.normal(size=(k, k, 1, Hd)) * 0.1).astype(np.float32)))
+        convs.append(jnp.asarray((rng.normal(size=(Hd,)) * 0.1).astype(np.float32)))
+    dargs = (xi, *margs[1:5], *convs, *margs[5:])
+    ok &= _check("ln+dwmsmlp fwd", jax.jit(fused_ln_dwmsmlp)(*dargs),
+                 jax.jit(composed_ln_dwmsmlp)(*dargs), 1e-3)
+
+    pargs = (xi, margs[1], margs[2],
+             jnp.asarray((rng.normal(size=(D, 2 * D)) * 0.1).astype(np.float32)),
+             jnp.asarray((rng.normal(size=(3, 3, 1, 2 * D)) * 0.2).astype(np.float32)))
+    ok &= _check("prologue fwd", jax.jit(fused_prologue)(*pargs),
+                 jax.jit(composed_prologue)(*pargs), 1e-3)
+
     print("DEVICE CHECK:", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

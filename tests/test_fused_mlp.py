@@ -1,0 +1,133 @@
+"""Fused FFN megakernels vs composed XLA path: forward parity + gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tramba_tpu.ops.fused_mlp import (
+    _dwms_pallas,
+    composed_ln_dwmsmlp,
+    composed_ln_mlp,
+    fused_ln_dwmsmlp,
+    fused_ln_mlp,
+)
+
+
+def _mlp_inputs(B=2, L=96, D=16, Hd=64, seed=0, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(B, L, D)).astype(np.float32)
+    s = (rng.normal(size=(D,)) * 0.1 + 1).astype(np.float32)
+    b = (rng.normal(size=(D,)) * 0.1).astype(np.float32)
+    w1 = (rng.normal(size=(D, Hd)) * 0.2).astype(np.float32)
+    b1 = (rng.normal(size=(Hd,)) * 0.1).astype(np.float32)
+    w2 = (rng.normal(size=(Hd, D)) * 0.2).astype(np.float32)
+    b2 = (rng.normal(size=(D,)) * 0.1).astype(np.float32)
+    out = [jnp.asarray(a) for a in (x, s, b, w1, b1, w2, b2)]
+    out[0] = out[0].astype(dtype)
+    return out
+
+
+def test_mlp_matches_composed():
+    args = _mlp_inputs()
+    y_f = fused_ln_mlp(*args)  # interpret-mode pallas on CPU
+    y_c = composed_ln_mlp(*args)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c), rtol=1e-5, atol=1e-5)
+
+
+def test_mlp_bf16():
+    args = _mlp_inputs(dtype=jnp.bfloat16)
+    y_f = fused_ln_mlp(*args).astype(np.float32)
+    y_c = composed_ln_mlp(*args).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c), rtol=2e-2, atol=2e-2)
+
+
+def test_mlp_grad_matches_composed():
+    args = _mlp_inputs(B=1, L=32, D=8, Hd=32, seed=1)
+
+    def loss_f(*a):
+        return jnp.sum(jnp.tanh(fused_ln_mlp(*a)))
+
+    def loss_c(*a):
+        return jnp.sum(jnp.tanh(composed_ln_mlp(*a)))
+
+    g_f = jax.grad(loss_f, argnums=tuple(range(7)))(*args)
+    g_c = jax.grad(loss_c, argnums=tuple(range(7)))(*args)
+    for a, b in zip(g_f, g_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def _dwms_inputs(B=2, H=12, W=8, D=16, Hd=32, seed=2, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(B, H, W, D)).astype(np.float32)
+    s = (rng.normal(size=(D,)) * 0.1 + 1).astype(np.float32)
+    b = (rng.normal(size=(D,)) * 0.1).astype(np.float32)
+    w1 = (rng.normal(size=(D, Hd)) * 0.2).astype(np.float32)
+    b1 = (rng.normal(size=(Hd,)) * 0.1).astype(np.float32)
+    convs = []
+    for k in (3, 5, 7):
+        convs.append((rng.normal(size=(k, k, 1, Hd)) * 0.2).astype(np.float32))
+        convs.append((rng.normal(size=(Hd,)) * 0.1).astype(np.float32))
+    w2 = (rng.normal(size=(Hd, D)) * 0.2).astype(np.float32)
+    b2 = (rng.normal(size=(D,)) * 0.1).astype(np.float32)
+    out = [jnp.asarray(a) for a in (x, s, b, w1, b1, *convs, w2, b2)]
+    out[0] = out[0].astype(dtype)
+    return out
+
+
+def test_dwms_matches_composed():
+    args = _dwms_inputs()
+    y_f = fused_ln_dwmsmlp(*args)
+    y_c = composed_ln_dwmsmlp(*args)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("row_chunk", [4, 8, 12, 24])
+def test_dwms_halo_chunking(row_chunk):
+    """Halo rows across chunk boundaries reproduce SAME zero padding exactly."""
+    args = _dwms_inputs(B=1, H=24, W=8, D=8, Hd=16, seed=3)
+    y_f = _dwms_pallas(*args, interpret=True, row_chunk=row_chunk)
+    y_c = composed_ln_dwmsmlp(*args)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c), rtol=1e-5, atol=1e-5)
+
+
+def test_dwms_hidden_chunking():
+    """In-kernel hidden-dim chunking (VMEM bound) is numerically transparent."""
+    args = _dwms_inputs(B=1, H=8, W=8, D=8, Hd=64, seed=6)
+    y_f = _dwms_pallas(*args, interpret=True, hidden_chunk=16)
+    y_c = composed_ln_dwmsmlp(*args)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c), rtol=1e-5, atol=1e-5)
+
+
+def test_dwms_grad_matches_composed():
+    args = _dwms_inputs(B=1, H=8, W=8, D=8, Hd=16, seed=4)
+
+    def loss_f(*a):
+        return jnp.sum(jnp.tanh(fused_ln_dwmsmlp(*a)))
+
+    def loss_c(*a):
+        return jnp.sum(jnp.tanh(composed_ln_dwmsmlp(*a)))
+
+    g_f = jax.grad(loss_f, argnums=tuple(range(13)))(*args)
+    g_c = jax.grad(loss_c, argnums=tuple(range(13)))(*args)
+    for a, b in zip(g_f, g_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_block_fused_path_matches_composed():
+    """VSSBlock / MultiScaleDecoderBlock with backend='pallas' (fused FFN,
+    interpret mode) match backend='assoc' (composed modules) — same params."""
+    from tramba_tpu.nn.blocks import MultiScaleDecoderBlock, VSSBlock
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 32)).astype(np.float32))
+    for cls in (VSSBlock, MultiScaleDecoderBlock):
+        m_f = cls(hidden_dim=32, ssm_backend="pallas")
+        m_c = cls(hidden_dim=32, ssm_backend="assoc")
+        params = m_f.init(jax.random.key(0), x)
+        pc = m_c.init(jax.random.key(0), x)
+        assert jax.tree.structure(params) == jax.tree.structure(pc), cls.__name__
+        y_f = m_f.apply(params, x)
+        y_c = m_c.apply(params, x)
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c),
+                                   rtol=5e-4, atol=5e-4, err_msg=cls.__name__)

@@ -10,15 +10,117 @@ from __future__ import annotations
 import functools
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tramba_tpu.nn.layers import DWMSMlp, DropPath, LayerNorm, Mlp
-from tramba_tpu.nn.ssm import SS2D
+from tramba_tpu.nn.layers import DWMSMlp, DropPath, LayerNorm, Mlp, conv_kaiming_init, trunc_normal_init
+from tramba_tpu.nn.ssm import SS2D, _NormParams
+from tramba_tpu.ops.fused_mlp import (
+    dwmsmlp_fusable,
+    fused_ln_dwmsmlp,
+    fused_ln_mlp,
+    mlp_fusable,
+)
 
 __all__ = ["VSSBlock", "MultiScaleDecoderBlock", "VSSMDecoderBlock"]
 
 _gelu = functools.partial(nn.gelu, approximate=False)
+
+
+class _DenseP(nn.Module):
+    """Dense kernel+bias params, applied inside fused FFN kernels."""
+
+    fin: int
+    fout: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("kernel", trunc_normal_init, (self.fin, self.fout)),
+            self.param("bias", nn.initializers.zeros, (self.fout,)),
+        )
+
+
+class _ConvP(nn.Module):
+    """Depthwise-conv kernel+bias params (checkpoint layout of nn.Conv)."""
+
+    k: int
+    feat: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("kernel", conv_kaiming_init, (self.k, self.k, 1, self.feat)),
+            self.param("bias", nn.initializers.zeros, (self.feat,)),
+        )
+
+
+class _DWConvP(nn.Module):
+    """Mirrors DWConv's tree: an anonymous nn.Conv -> scope 'Conv_0'."""
+
+    k: int
+    feat: int
+
+    @nn.compact
+    def __call__(self):
+        return _ConvP(self.k, self.feat, name="Conv_0")()
+
+
+class _MlpP(nn.Module):
+    d: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        return (_DenseP(self.d, self.hidden, name="fc1")(),
+                _DenseP(self.hidden, self.d, name="fc2")())
+
+
+class _DWMSMlpP(nn.Module):
+    d: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            _DenseP(self.d, self.hidden, name="fc1")(),
+            _DWConvP(3, self.hidden, name="dwc3")(),
+            _DWConvP(5, self.hidden, name="dwc5")(),
+            _DWConvP(7, self.hidden, name="dwc7")(),
+            _DenseP(self.hidden, self.d, name="fc2")(),
+        )
+
+
+def _kernel_ok(backend: Optional[str]) -> bool:
+    return backend == "pallas" or (backend is None and jax.default_backend() == "tpu")
+
+
+def ffn_branch(x, dim: int, mlp_ratio: float, backend: Optional[str], dtype,
+               kind: str = "plain"):
+    """The block FFN: LN -> MLP (no residual).  Fused kernel when eligible.
+
+    Must be called from within a parent module's compact ``__call__`` —
+    declares sibling params named ``norm2`` / ``mlp`` matching the composed
+    modules' checkpoint tree exactly.
+    """
+    hidden = int(dim * mlp_ratio)
+    B, H, W, _ = x.shape
+    if kind == "plain":
+        if _kernel_ok(backend) and mlp_fusable(dim, hidden, dtype) and (H * W) % 8 == 0:
+            ln_s, ln_b = _NormParams(dim, name="norm2")()
+            (w1, b1), (w2, b2) = _MlpP(dim, hidden, name="mlp")()
+            y = fused_ln_mlp(x.reshape(B, H * W, dim), ln_s, ln_b, w1, b1, w2, b2)
+            return y.reshape(x.shape)
+        y = LayerNorm(dtype=dtype, name="norm2")(x)
+        return Mlp(hidden, act=_gelu, dtype=dtype, name="mlp")(y)
+    # multi-scale depthwise FFN
+    if _kernel_ok(backend) and dwmsmlp_fusable(H, W, dim, hidden, dtype):
+        ln_s, ln_b = _NormParams(dim, name="norm2")()
+        (w1, b1), (k3, c3), (k5, c5), (k7, c7), (w2, b2) = _DWMSMlpP(dim, hidden, name="mlp")()
+        return fused_ln_dwmsmlp(x, ln_s, ln_b, w1, b1, k3, c3, k5, c5, k7, c7, w2, b2)
+    y = LayerNorm(dtype=dtype, name="norm2")(x)
+    return DWMSMlp(hidden, act=_gelu, dtype=dtype, name="mlp")(y)
 
 
 class VSSBlock(nn.Module):
@@ -38,7 +140,7 @@ class VSSBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         if self.ssm_ratio > 0:
-            y = LayerNorm(dtype=self.dtype, name="norm")(x)
+            ln = _NormParams(self.hidden_dim, name="norm")()
             y = SS2D(
                 d_model=self.hidden_dim,
                 d_state=self.ssm_d_state,
@@ -49,11 +151,10 @@ class VSSBlock(nn.Module):
                 backend=self.ssm_backend,
                 dtype=self.dtype,
                 name="op",
-            )(y)
+            )(x, ln=ln)
             x = x + DropPath(self.drop_path)(y, deterministic)
         if self.mlp_ratio > 0:
-            y = LayerNorm(dtype=self.dtype, name="norm2")(x)
-            y = Mlp(int(self.hidden_dim * self.mlp_ratio), act=_gelu, dtype=self.dtype, name="mlp")(y)
+            y = ffn_branch(x, self.hidden_dim, self.mlp_ratio, self.ssm_backend, self.dtype)
             x = x + DropPath(self.drop_path)(y, deterministic)
         return x
 
@@ -74,7 +175,7 @@ class MultiScaleDecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        y = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        ln = _NormParams(self.hidden_dim, name="norm1")()
         y = SS2D(
             d_model=self.hidden_dim,
             d_state=self.ssm_d_state,
@@ -85,10 +186,10 @@ class MultiScaleDecoderBlock(nn.Module):
             backend=self.ssm_backend,
             dtype=self.dtype,
             name="op",
-        )(y)
+        )(x, ln=ln)
         x = x + DropPath(self.drop_path)(y, deterministic)
-        y = LayerNorm(dtype=self.dtype, name="norm2")(x)
-        y = DWMSMlp(int(self.hidden_dim * self.mlp_ratio), act=_gelu, dtype=self.dtype, name="mlp")(y)
+        y = ffn_branch(x, self.hidden_dim, self.mlp_ratio, self.ssm_backend, self.dtype,
+                       kind="dwms")
         x = x + DropPath(self.drop_path)(y, deterministic)
         return x
 
@@ -109,7 +210,7 @@ class VSSMDecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        y = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        ln = _NormParams(self.hidden_dim, name="norm1")()
         y = SS2D(
             d_model=self.hidden_dim,
             d_state=self.ssm_d_state,
@@ -120,9 +221,8 @@ class VSSMDecoderBlock(nn.Module):
             backend=self.ssm_backend,
             dtype=self.dtype,
             name="op",
-        )(y)
+        )(x, ln=ln)
         x = x + DropPath(self.drop_path)(y, deterministic)
-        y = LayerNorm(dtype=self.dtype, name="norm2")(x)
-        y = Mlp(int(self.hidden_dim * self.mlp_ratio), act=_gelu, dtype=self.dtype, name="mlp")(y)
+        y = ffn_branch(x, self.hidden_dim, self.mlp_ratio, self.ssm_backend, self.dtype)
         x = x + DropPath(self.drop_path)(y, deterministic)
         return x

@@ -96,7 +96,8 @@ class FreqBlock(nn.Module):
             name="attn",
         )(y)
         x = x + DropPath(self.drop_path)(y, deterministic)
-        y = LayerNorm(dtype=self.dtype, name="norm2")(x)
-        y = Mlp(int(self.dim * self.mlp_ratio), act=_gelu, dtype=self.dtype, name="mlp")(y)
+        from tramba_tpu.nn.blocks import ffn_branch
+
+        y = ffn_branch(x, self.dim, self.mlp_ratio, self.ssm_backend, self.dtype)
         x = x + DropPath(self.drop_path)(y, deterministic)
         return x

@@ -24,6 +24,7 @@ from tramba_tpu.ops.fused_ss2d import (
     fused_ss2d_freq,
     fused_ss2d_full,
 )
+from tramba_tpu.ops.fused_prologue import fused_prologue, prologue_fusable
 from tramba_tpu.ops.scan_orders import cross_merge, cross_scan
 from tramba_tpu.ops.selective_scan import selective_scan
 
@@ -56,6 +57,20 @@ class _DenseParams(nn.Module):
     @nn.compact
     def __call__(self):
         return self.param("kernel", trunc_normal_init, (self.in_features, self.out_features))
+
+class _Conv2dParams(nn.Module):
+    """Bare depthwise-conv kernel — applied inside the fused prologue.
+
+    Named 'conv2d' in SS2D so the checkpoint tree matches nn.Conv's.
+    """
+
+    k: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", conv_kaiming_init, (self.k, self.k, 1, self.features))
+
 
 __all__ = ["SS2D"]
 
@@ -105,7 +120,9 @@ class SS2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, ln=None) -> jnp.ndarray:
+        """``ln``: optional (scale, bias) of the block's pre-norm, folded into
+        the fused prologue kernel when eligible (applied composed otherwise)."""
         B, H, W, _ = x.shape
         L = H * W
         d_inner = int(self.ssm_ratio * self.d_model)
@@ -113,21 +130,42 @@ class SS2D(nn.Module):
         N = self.d_state
         K = self.k_group
 
-        x = nn.Dense(
-            d_inner, use_bias=self.bias, kernel_init=trunc_normal_init, dtype=self.dtype, name="in_proj"
-        )(x)
-        if self.d_conv > 1:
-            x = nn.Conv(
-                d_inner,
-                (self.d_conv, self.d_conv),
-                feature_group_count=d_inner,
-                padding="SAME",
-                use_bias=self.conv_bias,
-                kernel_init=conv_kaiming_init,
-                dtype=self.dtype,
-                name="conv2d",
+        on_tpu = jax.default_backend() == "tpu"
+        kernel_ok = self.backend == "pallas" or (self.backend is None and on_tpu)
+        use_prologue = (
+            kernel_ok
+            and self.d_conv == 3
+            and not self.bias
+            and not self.conv_bias
+            and prologue_fusable(H, W, self.d_model, d_inner, self.dtype)
+        )
+        if use_prologue:
+            w_in = _DenseParams(self.d_model, d_inner, name="in_proj")()
+            conv_k = _Conv2dParams(self.d_conv, d_inner, name="conv2d")()
+            ln_s, ln_b = ln if ln is not None else (None, None)
+            x = fused_prologue(x, ln_s, ln_b, w_in, conv_k)
+        else:
+            if ln is not None:
+                xf = x.astype(jnp.float32)
+                mean = jnp.mean(xf, axis=-1, keepdims=True)
+                var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+                xf = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+                x = (xf * ln[0].astype(jnp.float32) + ln[1].astype(jnp.float32)).astype(x.dtype)
+            x = nn.Dense(
+                d_inner, use_bias=self.bias, kernel_init=trunc_normal_init, dtype=self.dtype, name="in_proj"
             )(x)
-        x = nn.silu(x)
+            if self.d_conv > 1:
+                x = nn.Conv(
+                    d_inner,
+                    (self.d_conv, self.d_conv),
+                    feature_group_count=d_inner,
+                    padding="SAME",
+                    use_bias=self.conv_bias,
+                    kernel_init=conv_kaiming_init,
+                    dtype=self.dtype,
+                    name="conv2d",
+                )(x)
+            x = nn.silu(x)
 
         # stacked per-direction projection params (reference layout, vmamba.py:87-112)
         x_proj_w = self.param("x_proj_weight", _uniform_fan_in(d_inner), (K, R + 2 * N, d_inner))
@@ -136,10 +174,8 @@ class SS2D(nn.Module):
         A_logs = self.param("A_logs", _a_log_init, (K, d_inner, N))
         Ds = self.param("Ds", nn.initializers.ones, (K, d_inner))
 
-        on_tpu = jax.default_backend() == "tpu"
         # backend None: kernels on TPU, composed elsewhere.  backend='pallas':
         # force the kernels even off-TPU (interpret mode — slow, test-only).
-        kernel_ok = self.backend == "pallas" or (self.backend is None and on_tpu)
         use_folded = (
             N == 1
             and self.scan_kind in ("raster", "line", "dilation", "window")
