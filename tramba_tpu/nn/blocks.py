@@ -115,7 +115,8 @@ def ffn_branch(x, dim: int, mlp_ratio: float, backend: Optional[str], dtype,
         y = LayerNorm(dtype=dtype, name="norm2")(x)
         return Mlp(hidden, act=_gelu, dtype=dtype, name="mlp")(y)
     # multi-scale depthwise FFN
-    if _kernel_ok(backend) and dwmsmlp_fusable(H, W, dim, hidden, dtype):
+    if _kernel_ok(backend) and dwmsmlp_fusable(H, W, dim, hidden, dtype,
+                                               force=backend == "pallas"):
         ln_s, ln_b = _NormParams(dim, name="norm2")()
         (w1, b1), (k3, c3), (k5, c5), (k7, c7), (w2, b2) = _DWMSMlpP(dim, hidden, name="mlp")()
         return fused_ln_dwmsmlp(x, ln_s, ln_b, w1, b1, k3, c3, k5, c5, k7, c7, w2, b2)

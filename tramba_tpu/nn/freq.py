@@ -40,7 +40,9 @@ class FreqSS2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        coeffs = dct2d(x.astype(jnp.float32)).astype(x.dtype)
+        # DCT in the model dtype (fp32 cast doubled its HBM traffic for bf16
+        # models; the MXU accumulates in fp32 either way)
+        coeffs = dct2d(x)
         high, low = split_high_low(coeffs)
         high = FreqExpand2D(dtype=self.dtype, name="h_expand")(high)
         low = FreqExpand2D(dtype=self.dtype, name="l_expand")(low)

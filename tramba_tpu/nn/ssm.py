@@ -137,7 +137,8 @@ class SS2D(nn.Module):
             and self.d_conv == 3
             and not self.bias
             and not self.conv_bias
-            and prologue_fusable(H, W, self.d_model, d_inner, self.dtype)
+            and prologue_fusable(H, W, self.d_model, d_inner, self.dtype,
+                                 force=self.backend == "pallas")
         )
         if use_prologue:
             w_in = _DenseParams(self.d_model, d_inner, name="in_proj")()

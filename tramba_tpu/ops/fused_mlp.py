@@ -49,11 +49,15 @@ def mlp_fusable(d: int, hidden: int, dtype) -> bool:
     return d % 8 == 0 and hidden % 128 == 0 and _weight_bytes(d, hidden, dtype) <= _WEIGHT_BUDGET
 
 
-def dwmsmlp_fusable(H: int, W: int, d: int, hidden: int, dtype) -> bool:
-    # need >= 3 halo rows from each neighbour block and zero-pad columns
+def dwmsmlp_fusable(H: int, W: int, d: int, hidden: int, dtype, force=False) -> bool:
+    # needs >= 3 halo rows from each neighbour block and zero-pad columns;
+    # small spatial tiles starve the MXU and measure slower than composed XLA
+    # (scripts/op_bench.py: 24px/2048h fused 5.8 ms vs composed 2.7 ms), so
+    # the pixel floor is a perf gate (bypassed by backend='pallas' test mode)
     return (
         mlp_fusable(d, hidden, dtype)
         and W % 8 == 0
+        and (force or H * W >= 2304)
         and _row_chunk_mlp(H, W, hidden) >= 4
     )
 

@@ -23,10 +23,14 @@ from tramba_tpu.ops.fused_mlp import _ln
 __all__ = ["fused_prologue", "composed_prologue", "prologue_fusable"]
 
 
-def prologue_fusable(H: int, W: int, d_model: int, d_inner: int, dtype) -> bool:
+def prologue_fusable(H: int, W: int, d_model: int, d_inner: int, dtype, force=False) -> bool:
+    # small spatial tiles starve the MXU and measure slower than composed XLA
+    # (scripts/op_bench.py: 24px/1024ch fused 2.7 ms vs composed 1.9 ms), so
+    # the pixel floor is a perf gate (bypassed by backend='pallas' test mode)
     return (
         W % 8 == 0
         and d_inner % 128 == 0
+        and (force or H * W >= 2304)
         and _row_chunk(H, W, d_inner) >= 2
         and 2 * d_model * d_inner * jnp.dtype(dtype).itemsize <= 8 * 1024 * 1024
     )

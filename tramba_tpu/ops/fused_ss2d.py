@@ -809,6 +809,149 @@ def _seq_bwd_pallas(xs3, g3, carries, wx, wdt, bias, A, Ds, K: int, R: int,
     return res[0], res[1:]
 
 
+# ---------------------------------------------------------------------------
+# Paired-direction line kernel (inference): each Bresenham family's forward
+# direction and its per-line-flipped direction computed from ONE read of the
+# family sequence, emitting the two directions' SUM directly in family order.
+# The flipped direction never materializes: it is a per-line (segmented)
+# reversed scan whose cross-line carry chains forward through the lines, so
+# both directions share ascending chunk order.  Replaces 2 extra (B, L, D)
+# materializations + 2 scan outputs + flip passes per family
+# (~2.3 GB/fwd at 96px, scripts/decoder_bench.py).
+# ---------------------------------------------------------------------------
+
+
+def _scan_chunk_lines(a, b, Hline):
+    """Per-line suffix scan: A_cum[p] = prod_{q>=p in line} a[q]; hp[p] the
+    matching suffix recurrence sum.  Lines are contiguous rows of length
+    ``Hline`` (chunk length is a multiple of it)."""
+    T = a.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    s = 1
+    while s < Hline:
+        a_sh = pltpu.roll(a, shift=T - s, axis=0)  # shift up by s
+        b_sh = pltpu.roll(b, shift=T - s, axis=0)
+        valid = (row % Hline) < Hline - s
+        a_sh = jnp.where(valid, a_sh, 1.0)
+        b_sh = jnp.where(valid, b_sh, 0.0)
+        b = b + a * b_sh
+        a = a * a_sh
+        s *= 2
+    return a, b
+
+
+def _line_pair_kernel(R, Hline, hi, x_ref, wxe_ref, wxo_ref, wdte_ref, wdto_ref,
+                      be_ref, bo_ref, Ae_ref, Ao_ref, Dse_ref, Dso_ref, out_ref,
+                      carry_e, carry_o):
+    prec = jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        carry_e[...] = jnp.zeros_like(carry_e)
+        carry_o[...] = jnp.zeros_like(carry_o)
+
+    x = x_ref[0].astype(jnp.float32)  # (T, D)
+    T = x.shape[0]
+
+    def proj(wx_ref, wdt_ref, bias_ref, A_ref):
+        dbc = jax.lax.dot_general(x, wx_ref[0].astype(jnp.float32),
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32, precision=prec)
+        dt = jax.lax.dot_general(dbc[:, :R], wdt_ref[0].astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32, precision=prec)
+        delta = jax.nn.softplus(dt + bias_ref[0].astype(jnp.float32))
+        a = jnp.exp(delta * A_ref[0].astype(jnp.float32))
+        b = delta * x * dbc[:, R : R + 1]
+        return dbc, a, b
+
+    # even direction: continuous forward scan across the whole sequence
+    dbc_e, a_e, b_e = proj(wxe_ref, wdte_ref, be_ref, Ae_ref)
+    A_cum, hp = _scan_chunk(a_e, b_e, reverse=False)
+    h_e = A_cum * carry_e[...] + hp
+    carry_e[...] = h_e[T - 1 :, :]
+
+    # odd direction: per-line reversed scan, carry chaining forward through
+    # lines (the flipped sequence visits lines in order, pixels reversed)
+    dbc_o, a_o, b_o = proj(wxo_ref, wdto_ref, bo_ref, Ao_ref)
+    A_ln, hp_ln = _scan_chunk_lines(a_o, b_o, Hline)
+    c = carry_o[...]  # (1, D)
+    segs = []
+    for m in range(T // Hline):
+        seg_A = A_ln[m * Hline : (m + 1) * Hline]
+        seg_h = hp_ln[m * Hline : (m + 1) * Hline]
+        segs.append(seg_h + seg_A * c)
+        c = seg_h[0:1] + seg_A[0:1] * c  # h at the line's last flipped pos
+    h_o = jnp.concatenate(segs, axis=0)
+    carry_o[...] = c
+
+    y = h_e * dbc_e[:, R + 1 : R + 2] + x * Dse_ref[0].astype(jnp.float32) \
+        + h_o * dbc_o[:, R + 1 : R + 2] + x * Dso_ref[0].astype(jnp.float32)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _line_pair_chunk(L, Hline, D):
+    """Chunk length: multiple of the line length within the VMEM budget."""
+    target = max(Hline, (65536 // max(D, 1)) // Hline * Hline)
+    best = Hline
+    for t in range(Hline, L + 1, Hline):
+        if L % t == 0 and t <= target:
+            best = t
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("Hline", "R", "interpret"))
+def _line_pair_pallas(seq, wx2, wdt2, bias2, A2, Ds2, Hline: int, R: int,
+                      interpret: bool = False):
+    """seq: (B, L, D) — ONE Bresenham family's sequence.  wx2..Ds2 carry the
+    family's two directions [fwd, per-line-flip].  Returns (B, L, D): the two
+    directions' sum in family order."""
+    B, L, D = seq.shape
+    T = _line_pair_chunk(L, Hline, D)
+    nT = L // T
+    C = wx2.shape[1]
+    seq_spec = pl.BlockSpec((1, T, D), lambda r, t: (r, t, 0), memory_space=pltpu.VMEM)
+    pe = lambda *s: pl.BlockSpec((1,) + s, lambda r, t: (0,) + (0,) * len(s),
+                                 memory_space=pltpu.VMEM)
+    po = lambda *s: pl.BlockSpec((1,) + s, lambda r, t: (1,) + (0,) * len(s),
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_line_pair_kernel, R, Hline, seq.dtype == jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, L, D), seq.dtype),
+        grid=(B, nT),
+        in_specs=[
+            seq_spec,
+            pe(C, D), po(C, D), pe(D, R), po(D, R),
+            pe(1, D), po(1, D), pe(1, D), po(1, D), pe(1, D), po(1, D),
+        ],
+        out_specs=seq_spec,
+        scratch_shapes=[pltpu.VMEM((1, D), jnp.float32), pltpu.VMEM((1, D), jnp.float32)],
+        interpret=interpret,
+    )(seq, wx2, wx2, wdt2, wdt2, bias2[:, None, :], bias2[:, None, :],
+      A2[:, None, :], A2[:, None, :], Ds2[:, None, :], Ds2[:, None, :])
+
+
+def _line_pair_forward(x_flat, wx4, wdt4, bias4, A4, Ds4, H, W, interp):
+    """4 line directions -> (B, L, D) merged line contribution, via the paired
+    kernel (square maps only; line length == H == W)."""
+    from tramba_tpu.ops.scan_orders import _line_family_scan, _line_family_merge, _line_selectors
+
+    B, L, D = x_flat.shape
+    ximg = x_flat.reshape(B, H, W, D)
+    (P1a, Q2a), (P1b, Q2b) = _line_selectors(H, W)
+    R = wdt4.shape[-1]
+    y = None
+    for f, (P1, Q2) in enumerate(((P1a, Q2a), (P1b, Q2b))):
+        fam = _line_family_scan(ximg, jnp.asarray(P1), jnp.asarray(Q2))
+        ys = _line_pair_pallas(fam, wx4[2 * f : 2 * f + 2], wdt4[2 * f : 2 * f + 2],
+                               bias4[2 * f : 2 * f + 2], A4[2 * f : 2 * f + 2],
+                               Ds4[2 * f : 2 * f + 2], Hline=H, R=R, interpret=interp)
+        m = _line_family_merge(ys, jnp.asarray(P1), jnp.asarray(Q2), H, W)
+        y = m if y is None else y + m
+    return y.reshape(B, L, D)
+
+
 def _assemble_wx(p):
     """partials (.., R, D), (.., 1, D), (.., 1, D) -> (.., C, D)."""
     return jnp.concatenate([p[0], p[1], p[2]], axis=-2)
@@ -848,16 +991,21 @@ def _folded_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
         y13, c13 = y13
     y_line = None
     if kind == "line":
-        from tramba_tpu.ops.scan_orders import _line_dirs_list, _line_merge_dirs
+        if not train and H == W:
+            # paired-direction kernel: flipped dirs never materialize
+            y_line = _line_pair_forward(x_flat, wx[4:], wdt[4:], bias[4:], A[4:],
+                                        Dsf[4:], H, W, interp)
+        else:
+            from tramba_tpu.ops.scan_orders import _line_dirs_list, _line_merge_dirs
 
-        dirs = _line_dirs_list(x_flat, H, W)  # 4 x (B, L, D), MXU one-hot matmuls
-        ys_line = _fused_pallas(
-            jnp.concatenate(dirs, axis=0), wx[4:], wdt[4:], bias[4:], A[4:], Dsf[4:],
-            K=4, R=dt_w.shape[-1], interpret=interp, k_major=True, emit_carries=train,
-        )
-        if train:
-            ys_line, c_line = ys_line
-        y_line = _line_merge_dirs([ys_line[i * B : (i + 1) * B] for i in range(4)], H, W)
+            dirs = _line_dirs_list(x_flat, H, W)  # 4 x (B, L, D), MXU one-hot matmuls
+            ys_line = _fused_pallas(
+                jnp.concatenate(dirs, axis=0), wx[4:], wdt[4:], bias[4:], A[4:], Dsf[4:],
+                K=4, R=dt_w.shape[-1], interpret=interp, k_major=True, emit_carries=train,
+            )
+            if train:
+                ys_line, c_line = ys_line
+            y_line = _line_merge_dirs([ys_line[i * B : (i + 1) * B] for i in range(4)], H, W)
     out = _merge_pallas(y02, y13, y_line, ln_scale, ln_bias, w_out, H=H, W=W,
                         interpret=interp, emit_ysum=train)
     if train:
@@ -1063,9 +1211,11 @@ def _folded_freq_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_
     if train:
         ys_a, ca = ys_a
         ys_b, cb = ys_b
-    sa = (ys_a[:, 0] + ys_a[:, 1]).astype(f32)
-    sb = (ys_b[:, 0] + ys_b[:, 1]).astype(f32)
-    y = inv(sa, sb)
+    # direction sums + inverse permutation in the model dtype: the gathers are
+    # pure data movement, and fp32 here doubles their HBM traffic
+    sa = ys_a[:, 0] + ys_a[:, 1]
+    sb = ys_b[:, 0] + ys_b[:, 1]
+    y = inv(sa, sb).astype(f32)
     out = _ln_gelu_proj(y, ln_scale, ln_bias, w_out, x_flat.dtype)
     if train:
         return out, (y, ca, cb)
