@@ -25,6 +25,7 @@ from tramba_tpu.ops.fused_ss2d import (
     fused_ss2d_full,
 )
 from tramba_tpu.ops.fused_prologue import fused_prologue, prologue_fusable
+from tramba_tpu.ops.fused_ss2d_small import fused_ss2d_small, smallmap_ok
 from tramba_tpu.ops.scan_orders import cross_merge, cross_scan
 from tramba_tpu.ops.selective_scan import selective_scan
 
@@ -132,6 +133,32 @@ class SS2D(nn.Module):
 
         on_tpu = jax.default_backend() == "tpu"
         kernel_ok = self.backend == "pallas" or (self.backend is None and on_tpu)
+        use_small = (
+            kernel_ok
+            and N == 1
+            and self.scan_kind == "raster"
+            and K == 4
+            and self.d_conv == 3
+            and not self.bias
+            and not self.conv_bias
+            and ln is not None
+            and smallmap_ok(H, W, self.d_model, d_inner, self.dtype)
+        )
+        if use_small:
+            # whole-map megakernel: prologue + 4-dir scan + merge + LN/GELU/proj
+            w_in = _DenseParams(self.d_model, d_inner, name="in_proj")()
+            conv_k = _Conv2dParams(self.d_conv, d_inner, name="conv2d")()
+            x_proj_w = self.param("x_proj_weight", _uniform_fan_in(d_inner), (K, R + 2 * N, d_inner))
+            dt_w = self.param("dt_projs_weight", _uniform_fan_in(R), (K, d_inner, R))
+            dt_b = self.param("dt_projs_bias", _dt_bias_init(), (K, d_inner))
+            A_logs = self.param("A_logs", _a_log_init, (K, d_inner, N))
+            Ds = self.param("Ds", nn.initializers.ones, (K, d_inner))
+            ln_scale, ln_bias = _NormParams(d_inner, name="out_norm")()
+            w_out = _DenseParams(d_inner, self.d_model, name="out_proj")()
+            y = fused_ss2d_small(x.reshape(B, L, self.d_model), ln[0], ln[1], w_in,
+                                 conv_k, x_proj_w, dt_w, dt_b, A_logs, Ds,
+                                 ln_scale, ln_bias, w_out, H, W)
+            return y.reshape(B, H, W, self.d_model)
         use_prologue = (
             kernel_ok
             and self.d_conv == 3

@@ -1211,6 +1211,11 @@ def _folded_freq_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_
     if train:
         ys_a, ca = ys_a
         ys_b, cb = ys_b
+    prm = (param or 4) if kind == "dilation" else param
+    if not train and _freq_merge_ok(kind, H, W, D, prm):
+        # fold dir-sum + inverse permutation + LN/GELU/proj into one kernel
+        return _freq_merge_pallas(ys_a, ys_b, ln_scale, ln_bias, w_out, kind, H, W,
+                                  prm, interpret=interp)
     # direction sums + inverse permutation in the model dtype: the gathers are
     # pure data movement, and fp32 here doubles their HBM traffic
     sa = ys_a[:, 0] + ys_a[:, 1]
@@ -1220,6 +1225,101 @@ def _folded_freq_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_
     if train:
         return out, (y, ca, cb)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Freq merge fold: direction sum + inverse permutation (+ transposed-family
+# combine) + LayerNorm + GELU + out projection in ONE kernel.  The dilated /
+# windowed orders are block-structured, so the inverse permutation is a
+# BlockSpec view + an in-VMEM transpose — the permuted sums, the un-permuted
+# maps and the wide pre-projection tensor never reach HBM.
+# ---------------------------------------------------------------------------
+
+
+def _freq_merge_kernel(eps, kind, prm, Tr, W, hi, a_ref, b_ref, s_ref, bi_ref,
+                       w_ref, out_ref):
+    f32 = jnp.float32
+    D = a_ref.shape[-1]
+    if kind == "dilation":
+        r = prm
+        sa = (a_ref[0, 0] + a_ref[0, 1]).astype(f32)  # (r, Tr*W//r, D)
+        sa = jnp.transpose(sa, (1, 0, 2)).reshape(Tr * W, D)  # p = i*r + phase
+        sb = (b_ref[0, 0] + b_ref[0, 1]).astype(f32)  # (r, W, Tr//r, D)
+        sb = jnp.transpose(sb, (2, 0, 1, 3)).reshape(Tr * W, D)  # (h, w) major
+    else:  # window
+        ws = prm
+        nwi = W // ws
+        sa = (a_ref[0, 0] + a_ref[0, 1]).astype(f32).reshape(nwi, ws, ws, D)
+        sa = jnp.transpose(sa, (1, 0, 2, 3)).reshape(Tr * W, D)  # (r_in, wi, c_in)
+        sb = (b_ref[0, 0, :, 0] + b_ref[0, 1, :, 0]).astype(f32).reshape(nwi, ws, ws, D)
+        sb = jnp.transpose(sb, (2, 0, 1, 3)).reshape(Tr * W, D)  # (h_in, wi, w_in)
+    y = sa + sb
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean((y - mean) ** 2, axis=-1, keepdims=True)
+    y = (y - mean) * jax.lax.rsqrt(var + eps)
+    y = y * s_ref[...].astype(f32) + bi_ref[...].astype(f32)
+    y = 0.5 * y * (1.0 + _erf(y * jnp.float32(0.7071067811865476)))
+    prec = jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT
+    y = jax.lax.dot_general(y, w_ref[...].astype(f32), (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32, precision=prec)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _freq_merge_rows(kind, H, W, D, prm):
+    if kind == "window":
+        return prm  # one window band per step
+    # dilation: the transposed family's seq layout only tiles legally when the
+    # whole map is one block (Mosaic last-two-dims rule), so Tr == H
+    return H
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "H", "W", "prm", "interpret"))
+def _freq_merge_pallas(ys_a, ys_b, ln_scale, ln_bias, w_out, kind: str, H: int, W: int,
+                       prm: int, interpret=False):
+    """ys_a: (B, 2, L, D) both directions over the permuted map; ys_b: same
+    over the transposed map.  Emits (B, L, d_model) in pixel order."""
+    B, _, L, D = ys_a.shape
+    dm = w_out.shape[-1]
+    Tr = _freq_merge_rows(kind, H, W, D, prm)
+    nT = H // Tr
+    if kind == "dilation":
+        r = prm
+        a_view = ys_a.reshape(B, 2, r, L // r, D)
+        a_spec = pl.BlockSpec((1, 2, r, Tr * W // r, D), lambda b, t: (b, 0, 0, t, 0),
+                              memory_space=pltpu.VMEM)
+        b_view = ys_b.reshape(B, 2, r, W, H // r, D)
+        b_spec = pl.BlockSpec((1, 2, r, W, Tr // r, D), lambda b, t: (b, 0, 0, 0, t, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        ws = prm
+        a_view = ys_a.reshape(B, 2, H // ws, (W // ws) * ws * ws, D)
+        a_spec = pl.BlockSpec((1, 2, 1, (W // ws) * ws * ws, D),
+                              lambda b, t: (b, 0, t, 0, 0), memory_space=pltpu.VMEM)
+        b_view = ys_b.reshape(B, 2, W // ws, H // ws, ws * ws, D)
+        b_spec = pl.BlockSpec((1, 2, W // ws, 1, ws * ws, D),
+                              lambda b, t: (b, 0, 0, t, 0, 0), memory_space=pltpu.VMEM)
+    par = lambda *s: pl.BlockSpec(s, lambda b, t: (0,) * len(s), memory_space=pltpu.VMEM)
+    hi = bool(ys_a.dtype == jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_freq_merge_kernel, 1e-5, kind, prm, Tr, W, hi),
+        out_shape=jax.ShapeDtypeStruct((B, L, dm), ys_a.dtype),
+        grid=(B, nT),
+        in_specs=[a_spec, b_spec, par(1, D), par(1, D), par(D, dm)],
+        out_specs=pl.BlockSpec((1, Tr * W, dm), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(a_view, b_view, ln_scale.astype(jnp.float32)[None, :],
+      ln_bias.astype(jnp.float32)[None, :], w_out)
+
+
+def _freq_merge_ok(kind, H, W, D, prm):
+    if kind == "dilation":
+        r = prm
+        # whole-map fold only (see _freq_merge_rows); bound the fp32 tile
+        return (H % r == 0 and W % r == 0 and (H * W) % 8 == 0
+                and H * W * D * 4 <= 2_500_000)
+    ws = prm
+    return H % ws == 0 and W % ws == 0 and (ws * ws) % 8 == 0
 
 
 def composed_ss2d_full_p(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out,

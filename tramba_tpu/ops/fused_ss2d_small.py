@@ -1,0 +1,273 @@
+"""Small-map SS2D megakernel: the whole raster-SS2D block core in ONE kernel.
+
+At coarse resolutions (24px, 12px — encoder stages 3/4, where 17 of the
+flagship's 21 encoder blocks live) the feature map fits in VMEM, so the
+entire chain
+
+    (LayerNorm ->) in_proj -> dw3x3 -> SiLU -> 4-direction selective scan
+    -> merge -> LayerNorm -> GELU -> out_proj
+
+runs per-batch-element in a single kernel program: one read of the narrow
+input, one write of the narrow output.  The chunked multi-kernel pipeline
+(fused_ss2d.fused_ss2d_full) stays for large maps and for training (its
+native backward machinery consumes per-chunk carries).
+
+Reference hot path being replaced: Models/vmamba.py:114-273.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tramba_tpu.ops.fused_ss2d import _erf
+
+__all__ = ["fused_ss2d_small", "smallmap_ok"]
+
+
+def smallmap_ok(H: int, W: int, d_model: int, d_inner: int, dtype) -> bool:
+    """Whole-map kernel eligibility: map + weights resident in VMEM."""
+    bpe = jnp.dtype(dtype).itemsize
+    L = H * W
+    # the kernel keeps ~4 map-sized buffers in the model dtype plus chunked
+    # fp32 working tiles; the budget scales with the dtype
+    return (
+        L % 8 == 0
+        and L * d_inner * bpe * 2 <= 2_500_000
+        and d_inner % 128 == 0
+        and (d_model * d_inner + d_inner * d_model) * bpe <= 9 * 1024 * 1024
+    )
+
+
+def _d_chunk(D: int) -> int:
+    return D if D <= 256 else 256
+
+
+def _scan_full(a, b, reverse):
+    """Full-length Hillis-Steele over axis 0 (no carry — whole sequence)."""
+    T = a.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    s = 1
+    while s < T:
+        if reverse:
+            a_sh = pltpu.roll(a, shift=T - s, axis=0)
+            b_sh = pltpu.roll(b, shift=T - s, axis=0)
+            valid = row < T - s
+        else:
+            a_sh = pltpu.roll(a, shift=s, axis=0)
+            b_sh = pltpu.roll(b, shift=s, axis=0)
+            valid = row >= s
+        a_sh = jnp.where(valid, a_sh, 1.0)
+        b_sh = jnp.where(valid, b_sh, 0.0)
+        b = b + a * b_sh
+        a = a * a_sh
+        s *= 2
+    return b
+
+
+def _small_kernel(R, H, W, has_pro, has_ln, hi, *refs):
+    it = iter(refs)
+    x_ref = next(it)
+    if has_pro:
+        if has_ln:
+            s1_ref, b1_ref = next(it), next(it)
+        w_in_ref, convk_ref = next(it), next(it)
+    wx_ref, wdt_ref, bias_ref, A_ref, Ds_ref, out_ref = (next(it) for _ in range(6))
+    prec = jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT
+    f32 = jnp.float32
+    L = H * W
+    cd = x_ref.dtype
+
+    if has_pro:
+        D = w_in_ref.shape[-1]
+        Dc = _d_chunk(D)
+        xin = x_ref[0].astype(f32)  # (L, dm)
+        if has_ln:
+            mean = jnp.mean(xin, axis=-1, keepdims=True)
+            var = jnp.mean((xin - mean) ** 2, axis=-1, keepdims=True)
+            xin = (xin - mean) * jax.lax.rsqrt(var + 1e-5)
+            xin = xin * s1_ref[0].astype(f32) + b1_ref[0].astype(f32)
+        xin = xin.astype(cd)
+        # in_proj + dw3x3 + SiLU, D-chunked to bound fp32 tiles; the chunked
+        # post-SiLU map is stored in the model dtype (one intermediate, as in
+        # the multi-kernel pipeline where it round-trips through HBM)
+        xcs = []
+        for c0 in range(0, D, Dc):
+            u = jax.lax.dot_general(xin, w_in_ref[:, c0 : c0 + Dc],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32, precision=prec)
+            u = u.reshape(H, W, Dc)
+            zr = jnp.zeros((1, W, Dc), f32)
+            zc = jnp.zeros((H + 2, 1, Dc), f32)
+            up = jnp.concatenate([zc, jnp.concatenate([zr, u, zr], axis=0), zc], axis=1)
+            acc = jnp.zeros((H, W, Dc), f32)
+            for i in range(3):
+                for j in range(3):
+                    acc = acc + convk_ref[i, j, c0 : c0 + Dc].astype(f32) \
+                        * up[i : i + H, j : j + W]
+            xcs.append((acc * jax.nn.sigmoid(acc)).astype(cd).reshape(L, Dc))
+        x = jnp.concatenate(xcs, axis=-1)  # (L, D), model dtype
+    else:
+        x = x_ref[0]  # (L, D)
+        D = x.shape[-1]
+        Dc = _d_chunk(D)
+
+    xT = jnp.swapaxes(x.reshape(H, W, D), 0, 1).reshape(L, D)  # w-major view
+
+    # per-direction Δ/B/C projections: full-D contractions, tiny outputs
+    dbc = [
+        jax.lax.dot_general(seq.astype(f32), wx_ref[k].astype(f32),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=f32, precision=prec)
+        for k, seq in ((0, x), (1, xT), (2, x), (3, xT))
+    ]
+
+    for c0 in range(0, D, Dc):
+        yc = jnp.zeros((L, Dc), f32)
+        for k, seq, rev in ((0, x, False), (1, xT, False), (2, x, True), (3, xT, True)):
+            sc = seq[:, c0 : c0 + Dc].astype(f32)
+            dt = jax.lax.dot_general(
+                dbc[k][:, :R], wdt_ref[k, c0 : c0 + Dc].astype(f32),
+                (((1,), (1,)), ((), ())), preferred_element_type=f32, precision=prec)
+            delta = jax.nn.softplus(dt + bias_ref[k, 0, c0 : c0 + Dc].astype(f32))
+            a = jnp.exp(delta * A_ref[k, 0, c0 : c0 + Dc].astype(f32))
+            b = delta * sc * dbc[k][:, R : R + 1]
+            h = _scan_full(a, b, rev)
+            yk = h * dbc[k][:, R + 1 : R + 2] + sc * Ds_ref[k, 0, c0 : c0 + Dc].astype(f32)
+            if k in (1, 3):  # transposed-pixel order -> pixel order
+                yk = jnp.swapaxes(yk.reshape(W, H, Dc), 0, 1).reshape(L, Dc)
+            yc = yc + yk
+        out_ref[0, :, c0 : c0 + Dc] = yc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
+def _small_pallas(x, ln1, w_in, conv_k, x_proj_w, dt_w, dt_b, A_logs, Ds,
+                  ln_scale, ln_bias, w_out, H: int, W: int, interpret=False):
+    B, L, dm_or_d = x.shape
+    has_pro = w_in is not None
+    has_ln = ln1 is not None
+    D = w_in.shape[1] if has_pro else dm_or_d
+    dm = w_out.shape[-1]
+    R = dt_w.shape[-1]
+    cd = x.dtype
+    f32 = jnp.float32
+    A = -jnp.exp(A_logs.astype(f32))[..., 0]  # (4, D)
+    par = lambda *s: pl.BlockSpec(s, lambda b: (0,) * len(s), memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec((1, L, dm_or_d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)]
+    args = [x]
+    if has_pro:
+        if has_ln:
+            in_specs += [par(1, dm_or_d), par(1, dm_or_d)]
+            args += [ln1[0].astype(f32)[None], ln1[1].astype(f32)[None]]
+        in_specs += [par(dm_or_d, D), par(3, 3, D)]
+        args += [w_in.astype(cd), conv_k.reshape(3, 3, D).astype(cd)]
+    C = x_proj_w.shape[1]
+    in_specs += [par(4, C, D), par(4, D, R), par(4, 1, D), par(4, 1, D), par(4, 1, D)]
+    args += [x_proj_w.astype(f32), dt_w.astype(f32), dt_b.astype(f32)[:, None],
+             A[:, None], Ds.astype(f32)[:, None]]
+    y_sum = pl.pallas_call(
+        functools.partial(_small_kernel, R, H, W, has_pro, has_ln, cd == jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, L, D), cd),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, L, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+    return _lgp_pallas(y_sum, ln_scale, ln_bias, w_out, interpret=interpret)
+
+
+def _lgp_kernel(hi, y_ref, s_ref, b_ref, w_ref, out_ref):
+    """LayerNorm + exact GELU + out projection over a row chunk."""
+    prec = jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT
+    f32 = jnp.float32
+    y = y_ref[0].astype(f32)
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean((y - mean) ** 2, axis=-1, keepdims=True)
+    y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+    y = y * s_ref[...].astype(f32) + b_ref[...].astype(f32)
+    y = 0.5 * y * (1.0 + _erf(y * jnp.float32(0.7071067811865476)))
+    o = jax.lax.dot_general(y.astype(y_ref.dtype), w_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32, precision=prec)
+    out_ref[0] = o.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _lgp_pallas(y, ln_scale, ln_bias, w_out, interpret=False):
+    B, L, D = y.shape
+    dm = w_out.shape[-1]
+    T = L
+    for t in range(8, L + 1, 8):
+        if L % t == 0 and t * D <= 131072:
+            T = t
+    nT = L // T
+    cd = y.dtype
+    par = lambda *s: pl.BlockSpec(s, lambda b, t: (0,) * len(s), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_lgp_kernel, cd == jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, L, dm), cd),
+        grid=(B, nT),
+        in_specs=[
+            pl.BlockSpec((1, T, D), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            par(1, D), par(1, D), par(D, dm),
+        ],
+        out_specs=pl.BlockSpec((1, T, dm), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(y, ln_scale.astype(jnp.float32)[None], ln_bias.astype(jnp.float32)[None],
+      w_out.astype(cd))
+
+
+def composed_ss2d_small(x, ln1, w_in, conv_k, x_proj_w, dt_w, dt_b, A_logs, Ds,
+                        ln_scale, ln_bias, w_out, H, W):
+    """XLA oracle (and VJP path): prologue + folded raster core, composed."""
+    from tramba_tpu.ops.fused_prologue import composed_prologue
+    from tramba_tpu.ops.fused_ss2d import composed_ss2d_full
+
+    B, L, _ = x.shape
+    if w_in is not None:
+        s, b = ln1 if ln1 is not None else (None, None)
+        u = composed_prologue(x.reshape(B, H, W, -1), s, b, w_in, conv_k)
+        x = u.reshape(B, L, -1)
+    return composed_ss2d_full(x, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
+                              w_out, kind="raster", H=H, W=W, backend="assoc")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14))
+def fused_ss2d_small(x, ln1_s, ln1_b, w_in, conv_k, x_proj_w, dt_w, dt_b, A_logs, Ds,
+                     ln_scale, ln_bias, w_out, H, W):
+    """Whole-map raster SS2D with fused prologue in one kernel; composed VJP."""
+    interp = jax.default_backend() != "tpu"
+    return _small_pallas(x, (ln1_s, ln1_b), w_in, conv_k, x_proj_w, dt_w, dt_b,
+                         A_logs, Ds, ln_scale, ln_bias, w_out, H, W, interpret=interp)
+
+
+def _small_fwd(x, ln1_s, ln1_b, w_in, conv_k, x_proj_w, dt_w, dt_b, A_logs, Ds,
+               ln_scale, ln_bias, w_out, H, W):
+    out = fused_ss2d_small(x, ln1_s, ln1_b, w_in, conv_k, x_proj_w, dt_w, dt_b,
+                           A_logs, Ds, ln_scale, ln_bias, w_out, H, W)
+    return out, (x, ln1_s, ln1_b, w_in, conv_k, x_proj_w, dt_w, dt_b, A_logs, Ds,
+                 ln_scale, ln_bias, w_out)
+
+
+def _small_bwd(H, W, res, g):
+    # recompute path for the adjoint: fused prologue (composed VJP) feeding
+    # the chunked folded core, whose VJP is the NATIVE fused backward
+    from tramba_tpu.ops.fused_prologue import fused_prologue
+    from tramba_tpu.ops.fused_ss2d import fused_ss2d_full
+
+    def f(x, ln1_s, ln1_b, w_in, conv_k, x_proj_w, dt_w, dt_b, A_logs, Ds,
+          ln_scale, ln_bias, w_out):
+        B, L, _ = x.shape
+        u = fused_prologue(x.reshape(B, H, W, -1), ln1_s, ln1_b, w_in, conv_k)
+        return fused_ss2d_full(u.reshape(B, L, -1), x_proj_w, dt_w, dt_b, A_logs,
+                               Ds, ln_scale, ln_bias, w_out, "raster", H, W)
+
+    _, vjp = jax.vjp(f, *res)
+    return vjp(g)
+
+
+fused_ss2d_small.defvjp(_small_fwd, _small_bwd)
