@@ -108,5 +108,22 @@ def main():
     print(f"  full model: {tm * 1e3:.1f} ms ({B / tm:.1f} img/s)")
 
 
+def batch_scaling():
+    """img/s at several batch sizes (amortizes serial kernel launches)."""
+    from tramba_tpu.models.tramba import TrambaV
+
+    dt = jnp.bfloat16
+    model = TrambaV(dtype=dt)
+    for B in (8, 16, 24, 32):
+        x = jnp.zeros((B, 384, 384, 3), dt)
+        p = jax.jit(lambda k, a=x: model.init(k, a))(jax.random.key(0))
+        f = jax.jit(lambda p, a: jnp.sum(model.apply(p, a)[-1].astype(jnp.float32)))
+        tm = _time(f, p, x, iters=10)
+        print(f"  batch {B:>2}: {tm * 1e3:7.1f} ms  {B / tm:6.1f} img/s")
+
+
 if __name__ == "__main__":
-    main()
+    if "--batch-scaling" in sys.argv:
+        batch_scaling()
+    else:
+        main()

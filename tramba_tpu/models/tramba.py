@@ -23,6 +23,19 @@ from tramba_tpu.models.vssm_encoder import VSSMEncoder
 
 __all__ = ["TrambaDecoder", "TrambaV", "TrambaEnc", "BaseUMamba", "window_for_resolution"]
 
+
+class _ConcatDense(nn.Module):
+    """Bare Dense kernel+bias (nn.Dense checkpoint layout), applied as split
+    matmuls so the input concat never materializes."""
+
+    fin: int
+    fout: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", trunc_normal_init, (self.fin, self.fout)),
+                self.param("bias", nn.initializers.zeros, (self.fout,)))
+
 # high-frequency window size per resolution (csms6s.py:107-111)
 _WINDOW_BY_RES = {12: 4, 24: 8, 48: 12, 96: 16}
 
@@ -80,9 +93,14 @@ class TrambaDecoder(nn.Module):
                     )(skips[-(s + 2)], deterministic)
                 else:
                     mid = skips[-(s + 2)]
-                x = jnp.concatenate([x, mid], axis=-1)
-                x = nn.Dense(skip_ch, kernel_init=trunc_normal_init, dtype=self.dtype,
-                             name=f"concat_back_dim_{s}")(x)
+                # concat + Dense as two matmuls on the kernel's halves (the
+                # (B, H, W, 2C) concat never materializes; same tree/math)
+                up_ch = x.shape[-1]
+                w, bcb = _ConcatDense(up_ch + mid.shape[-1], skip_ch,
+                                      name=f"concat_back_dim_{s}")()
+                wd = w.astype(self.dtype)
+                x = (x @ wd[:up_ch] + mid @ wd[up_ch:]
+                     + bcb.astype(self.dtype))
                 block_cls = MultiScaleDecoderBlock if self.block_type == "ms" else VSSMDecoderBlock
                 for d in range(depths[s]):
                     x = block_cls(

@@ -24,6 +24,17 @@ __all__ = ["FreqSS2D", "FreqBlock"]
 _gelu = functools.partial(nn.gelu, approximate=False)
 
 
+class _GateParams(nn.Module):
+    """Bare Dense kernel (matches nn.Dense's checkpoint layout)."""
+
+    fin: int
+    fout: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", trunc_normal_init, (self.fin, self.fout))
+
+
 class FreqSS2D(nn.Module):
     """DCT split + dual-branch SS2D gate (freq_mamba.py:11-57).
 
@@ -68,10 +79,11 @@ class FreqSS2D(nn.Module):
             name="l_ssm",
         )(low)
 
-        fusion = jnp.concatenate([h_out, l_out], axis=-1)
-        attn = nn.Dense(
-            self.dim, use_bias=False, kernel_init=trunc_normal_init, dtype=self.dtype, name="concat_back_dim"
-        )(fusion)
+        # concat + Dense as two matmuls on the kernel's halves: the (B, L, 2C)
+        # concat never materializes (identical math, same checkpoint tree)
+        w = _GateParams(2 * self.dim, self.dim, name="concat_back_dim")()
+        wd = w.astype(self.dtype)
+        attn = h_out @ wd[: self.dim] + l_out @ wd[self.dim :]
         return nn.sigmoid(attn) * x
 
 

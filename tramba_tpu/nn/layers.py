@@ -135,6 +135,50 @@ def pixel_shuffle(x: jnp.ndarray, p: int) -> jnp.ndarray:
     return x.reshape(B, H * p, W * p, c)
 
 
+class _ExpandParams(nn.Module):
+    """Bare Dense-kernel + LN params mirroring the composed modules' tree."""
+
+    fin: int
+    fout: int
+
+    @nn.compact
+    def __call__(self):
+        k = _KernelP(self.fin, self.fout, name="expand")()
+        co = self.fout // 4
+        s = _NormP(co, name="norm")()
+        return k, s
+
+
+class _KernelP(nn.Module):
+    fin: int
+    fout: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", trunc_normal_init, (self.fin, self.fout))
+
+
+class _NormP(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.features,)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
+def _fused_expand_branch(x, factor):
+    """Shared fused path for the x2 pixel-shuffle upsamplers; returns None
+    when the fused kernel is not eligible (caller composes instead)."""
+    from tramba_tpu.ops.fused_expand import expand2_fusable, fused_expand2
+
+    B, H, W, dim = x.shape
+    if jax.default_backend() != "tpu" or not expand2_fusable(H, W, dim, factor):
+        return None
+    k, (s, b) = _ExpandParams(dim, factor * dim)()
+    return fused_expand2(x, k, s, b)
+
+
 class PatchExpand(nn.Module):
     """x2 upsample: Dense(dim->2dim) + pixel shuffle + LN (modules.py:183-221)."""
 
@@ -143,6 +187,9 @@ class PatchExpand(nn.Module):
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
+        y = _fused_expand_branch(x, 2)
+        if y is not None:
+            return y
         x = nn.Dense(2 * dim, use_bias=False, kernel_init=trunc_normal_init, dtype=self.dtype, name="expand")(x)
         x = pixel_shuffle(x, 2)
         x = LayerNorm(dtype=self.dtype, name="norm")(x)
@@ -181,6 +228,9 @@ class FreqExpand2D(nn.Module):
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
+        y = _fused_expand_branch(x, 4)
+        if y is not None:
+            return y
         x = nn.Dense(4 * dim, use_bias=False, kernel_init=trunc_normal_init, dtype=self.dtype, name="expand")(x)
         x = pixel_shuffle(x, 2)
         x = LayerNorm(dtype=self.dtype, name="norm")(x)
