@@ -71,6 +71,14 @@ def main():
         xin = t(B, H // 2, H // 2, 2 * Dm)
         p = jax.jit(lambda k, m=pe, a=xin: m.init(k, a))(jax.random.key(0))
         rows.append(("PatchExpand", _time(jax.jit(lambda p, a, m=pe: m.apply(p, a)), p, xin)))
+        sw = SS2D(d_model=Dm, scan_kind="window", scan_param=window_for_resolution(H), dtype=dt)
+        p = jax.jit(lambda k, m=sw, a=x: m.init(k, a))(jax.random.key(0))
+        rows.append(("SS2D window", _time(jax.jit(lambda p, a, m=sw: m.apply(p, a)), p, x)))
+        sd = SS2D(d_model=Dm, scan_kind="dilation", scan_param=4, dtype=dt)
+        p = jax.jit(lambda k, m=sd, a=x: m.init(k, a))(jax.random.key(0))
+        rows.append(("SS2D dilation", _time(jax.jit(lambda p, a, m=sd: m.apply(p, a)), p, x)))
+        from tramba_tpu.ops.dct import dct2d
+        rows.append(("dct2d", _time(jax.jit(lambda a: dct2d(a)), x)))
         print(f"stage {label} ({H}px, {Dm}ch):")
         for name, dtm in rows:
             print(f"  {name:<18} {dtm * 1e3:7.2f} ms")

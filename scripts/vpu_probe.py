@@ -1,0 +1,104 @@
+"""VPU cost calibration: what does each piece of the scan kernels cost?
+
+Times pallas kernels of increasing complexity on identical (rows, 256)
+tiles: pure copy (HBM bound), one multiply, exp, the kernels' full
+softplus/exp/delta chain, the Hillis-Steele scan alone, and chain+scan —
+isolating transcendental vs scan vs bandwidth cost per element.
+
+Usage: python scripts/vpu_probe.py
+"""
+
+import functools
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _sync(x):
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def _time(fn, *args, iters=20, warmup=3):
+    out = fn(*args)
+    _sync(out)
+    for _ in range(warmup):
+        out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+T = 256  # scan chunk length (matches _seq_target at D=256)
+
+
+def _scan(a, b):
+    row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    s = 1
+    while s < T:
+        a_sh = pltpu.roll(a, shift=s, axis=0)
+        b_sh = pltpu.roll(b, shift=s, axis=0)
+        valid = row >= s
+        a_sh = jnp.where(valid, a_sh, 1.0)
+        b_sh = jnp.where(valid, b_sh, 0.0)
+        b = b + a * b_sh
+        a = a * a_sh
+        s *= 2
+    return b
+
+
+def _body(kind, x_ref, o_ref):
+    x = x_ref[...].astype(jnp.float32)
+    if kind == "copy":
+        y = x
+    elif kind == "mul":
+        y = x * 1.0001
+    elif kind == "exp":
+        y = jnp.exp(x)
+    elif kind == "chain":  # the kernels' per-element transcendental work
+        delta = jax.nn.softplus(x * 0.1 - 1.0)
+        a = jnp.exp(delta * -0.7)
+        y = a + delta * x
+    elif kind == "scan":
+        y = _scan(jnp.clip(x * 0.01, -0.9, 0.0) + 0.9, x)
+    elif kind == "chain+scan":
+        delta = jax.nn.softplus(x * 0.1 - 1.0)
+        a = jnp.exp(delta * -0.7)
+        y = _scan(a, delta * x)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def probe(kind, rows=1048576, cols=256, dtype=jnp.bfloat16):
+    x = jnp.ones((rows, cols), dtype) * 0.5
+    spec = pl.BlockSpec((T, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    f = jax.jit(lambda a: pl.pallas_call(
+        functools.partial(_body, kind),
+        out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
+        grid=(rows // T,),
+        in_specs=[spec],
+        out_specs=spec,
+    )(a))
+    dt = _time(f, x)
+    n = rows * cols
+    cyc = dt * 940e6 / n * 1e3  # cycles/element at 940 MHz, per 1k elements -> cycles
+    print(f"  {kind:<11} {dt * 1e3:7.3f} ms  {n / dt / 1e9:6.1f} Gelem/s  "
+          f"~{dt * 940e6 / n:5.2f} cyc/elem  {2 * n * jnp.dtype(dtype).itemsize / dt / 1e9:6.1f} GB/s")
+    return dt
+
+
+def main():
+    print(f"device: {jax.devices()[0]}, tile T={T}, bf16 I/O, fp32 compute")
+    for kind in ("copy", "mul", "exp", "chain", "scan", "chain+scan"):
+        probe(kind)
+
+
+if __name__ == "__main__":
+    main()

@@ -142,3 +142,30 @@ def test_wrong_checkpoint_is_loud(refs):
     sd = {k: v for k, v in model_t.state_dict().items()}
     with pytest.raises(Exception):
         _pretrained_encoder_variables("Tramba-S-TSOD", sd)
+
+
+def test_converter_reports_unconsumed():
+    """A bogus extra key in the reference state dict must be reported."""
+    import numpy as np
+    import pytest
+    import torch
+
+    from tests.ref_shim import load_reference
+    from tramba_tpu.compat.torch_weights import convert_tramba_v
+
+    Trambav6 = load_reference()["Trambav6"]
+    torch.manual_seed(0)
+    vss_args = dict(patch_size=4, in_chans=3, depths=[1, 1], dims=16,
+                    drop_path_rate=0.0, patch_norm=True, norm_layer="LN2D",
+                    posembed=False, imgsize=64)
+    decoder_args = dict(deep_supervision=True, features_per_stage=[16, 32],
+                        depths=[1, 1], img_size=64, drop_path_rate=0.0)
+    ref = Trambav6.BaseUMamba(vss_args, decoder_args, use_pretrain=False).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    convert_tramba_v(sd, enc_depths=(1, 1), dec_depths=(1, 1))  # clean: no raise
+    sd["decoder.some_orphan.weight"] = np.zeros((3, 3), np.float32)
+    with pytest.raises(ValueError, match="unconsumed"):
+        convert_tramba_v(sd, enc_depths=(1, 1), dec_depths=(1, 1))
+    # strict=False downgrades to a warning
+    with pytest.warns(UserWarning, match="unconsumed"):
+        convert_tramba_v(sd, enc_depths=(1, 1), dec_depths=(1, 1), strict=False)

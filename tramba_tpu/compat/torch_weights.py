@@ -33,6 +33,47 @@ def state_dict_to_numpy(sd: Mapping) -> Dict[str, np.ndarray]:
     return out
 
 
+class _TrackedSD(dict):
+    """State dict that records key accesses so converters can report
+    unconsumed reference parameters instead of silently dropping them
+    (contrast the reference's own shape asserts, vmamba.py:723-732)."""
+
+    def __init__(self, base):
+        super().__init__(base)
+        self.accessed = set()
+
+    def __getitem__(self, k):
+        self.accessed.add(k)
+        return super().__getitem__(k)
+
+
+# torch buffers / profiler bookkeeping that carry no learned weights, plus
+# the reference's precomputed DCT cosine bases (DCT_2D.py:37-45) — computed
+# analytically here (ops/dct.py), never loaded
+_IGNORABLE = (
+    "attn_mask", "relative_position_index", "num_batches_tracked",
+    "total_ops", "total_params", "rope", ".DCT2D.",
+)
+
+
+def check_consumed(sd, strict: bool = True, ignore: Sequence[str] = ()):
+    """After conversion: every reference key must have been read (or be a
+    known weightless buffer).  Raises on leftovers when ``strict``."""
+    if not isinstance(sd, _TrackedSD):
+        return []
+    left = [k for k in sd if k not in sd.accessed
+            and not any(p in k for p in (*_IGNORABLE, *ignore))]
+    if left:
+        msg = (f"converter left {len(left)} reference parameters unconsumed "
+               f"(first 10): {sorted(left)[:10]}")
+        if strict:
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg)
+    return left
+
+
 def _linear(sd, prefix, bias=True):
     p = {"kernel": sd[f"{prefix}.weight"].T}
     if bias and f"{prefix}.bias" in sd:
@@ -156,16 +197,18 @@ def convert_tramba_decoder(sd: Mapping[str, np.ndarray], prefix: str, n_stages: 
 
 
 def convert_tramba_v(state_dict: Mapping, enc_depths: Sequence[int] = (2, 2, 15, 2),
-                     dec_depths: Sequence[int] = (2, 2, 2, 2)) -> dict:
+                     dec_depths: Sequence[int] = (2, 2, 2, 2), strict: bool = True) -> dict:
     """Full Tramba-V (Trambav6 BaseUMamba) state_dict -> flax params."""
-    sd = state_dict_to_numpy(state_dict)
+    sd = _TrackedSD(state_dict_to_numpy(state_dict))
     n_stages = len(enc_depths)
-    return {
+    out = {
         "params": {
             "vssm_encoder": convert_vssm_encoder(sd, "vssm_encoder.", enc_depths),
             "decoder": convert_tramba_decoder(sd, "decoder.", n_stages, dec_depths),
         }
     }
+    check_consumed(sd, strict)
+    return out
 
 
 def convert_vmamba_encoder_pretrained(ckpt_model: Mapping, depths: Sequence[int] = (2, 2, 15, 2)) -> dict:
@@ -184,7 +227,10 @@ def convert_vmamba_encoder_pretrained(ckpt_model: Mapping, depths: Sequence[int]
         if m:
             k = f"downsample.{m.group(1)}.{m.group(2)}"
         sd[k] = v
-    return convert_vssm_encoder(sd, "", depths)
+    sd = _TrackedSD(sd)
+    out = convert_vssm_encoder(sd, "", depths)
+    check_consumed(sd, strict=True)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -204,7 +250,7 @@ def _plain_decoder_block(sd, prefix):
 def convert_base_umamba(state_dict: Mapping, enc_depths: Sequence[int] = (2, 2, 15, 2),
                         dec_depths: Sequence[int] = (2, 2, 2, 2)) -> dict:
     """BaseUMamba (ablation) state_dict -> flax params (BaseUMamba.py:126-181)."""
-    sd = state_dict_to_numpy(state_dict)
+    sd = _TrackedSD(state_dict_to_numpy(state_dict))
     n_stages = len(enc_depths)
     dec = {}
     for s in range(n_stages - 1):
@@ -216,10 +262,12 @@ def convert_base_umamba(state_dict: Mapping, enc_depths: Sequence[int] = (2, 2, 
     s = n_stages - 1
     dec[f"expand_{s}"] = _expand(sd, f"decoder.expand_layers.{s}")
     dec[f"seg_{s}"] = _conv(sd, f"decoder.seg_layers.{s}")
-    return {"params": {
+    out = {"params": {
         "vssm_encoder": convert_vssm_encoder(sd, "vssm_encoder.", enc_depths),
         "decoder": dec,
     }}
+    check_consumed(sd, strict=True)
+    return out
 
 
 def _bn(sd, prefix):
@@ -320,18 +368,22 @@ _ENC_CONFIG = {
 }
 
 
-def convert_tramba_enc(state_dict: Mapping, enc_type: str) -> dict:
+def convert_tramba_enc(state_dict: Mapping, enc_type: str, strict: bool = True) -> dict:
     """Full Tramba-S/P/R state_dict -> flax variables (params [+ batch_stats])."""
-    sd = state_dict_to_numpy(state_dict)
+    sd = _TrackedSD(state_dict_to_numpy(state_dict))
+    # swin stage-4 blocks are dead compute in the assembly (skipped by design)
+    ignore = ("encoder.layers.3.blocks",) if enc_type == "swin" else ()
     cfg = _ENC_CONFIG[enc_type]
     dec = convert_tramba_decoder(sd, "decoder.", cfg["n_stages"], cfg["depths"])
     if enc_type == "swin":
-        enc = convert_swin_encoder(sd, "encoder.")
-        return {"params": {"encoder": enc, "decoder": dec}}
-    if enc_type == "pvt":
-        enc = convert_pvt_encoder(sd, "encoder.")
-        return {"params": {"encoder": enc, "decoder": dec}}
-    if enc_type == "resnet":
+        out = {"params": {"encoder": convert_swin_encoder(sd, "encoder."), "decoder": dec}}
+    elif enc_type == "pvt":
+        out = {"params": {"encoder": convert_pvt_encoder(sd, "encoder."), "decoder": dec}}
+    elif enc_type == "resnet":
         enc, stats = convert_resnet_encoder(sd, "encoder.")
-        return {"params": {"encoder": enc, "decoder": dec}, "batch_stats": {"encoder": stats}}
-    raise ValueError(enc_type)
+        out = {"params": {"encoder": enc, "decoder": dec},
+               "batch_stats": {"encoder": stats}}
+    else:
+        raise ValueError(enc_type)
+    check_consumed(sd, strict, ignore)
+    return out
