@@ -55,6 +55,37 @@ def _scan(a, b):
     return b
 
 
+def _scan2(a, b, g=8):
+    """Two-level scan: intra-group Hillis-Steele (log2 g full-width steps) +
+    group-carry scan on T/g rows + one combine step."""
+    Tn, D = a.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    s = 1
+    while s < g:  # intra-group
+        a_sh = pltpu.roll(a, shift=s, axis=0)
+        b_sh = pltpu.roll(b, shift=s, axis=0)
+        valid = (row % g) >= s
+        b = b + a * jnp.where(valid, b_sh, 0.0)
+        a = a * jnp.where(valid, a_sh, 1.0)
+        s *= 2
+    ng = Tn // g
+    ga = a.reshape(ng, g, D)[:, g - 1]  # (ng, D) group totals
+    gb = b.reshape(ng, g, D)[:, g - 1]
+    grow = jax.lax.broadcasted_iota(jnp.int32, ga.shape, 0)
+    s = 1
+    while s < ng:  # exclusive scan over group carries (1/g of the data)
+        a_sh = pltpu.roll(ga, shift=s, axis=0)
+        b_sh = pltpu.roll(gb, shift=s, axis=0)
+        valid = grow >= s
+        gb = gb + ga * jnp.where(valid, b_sh, 0.0)
+        ga = ga * jnp.where(valid, a_sh, 1.0)
+        s *= 2
+    # carry entering each group = scanned value of the previous group
+    cb = jnp.concatenate([jnp.zeros((1, D), b.dtype), gb[:-1]], axis=0)
+    carry = jnp.broadcast_to(cb[:, None, :], (ng, g, D)).reshape(Tn, D)
+    return b + a * carry
+
+
 def _body(kind, x_ref, o_ref):
     x = x_ref[...].astype(jnp.float32)
     if kind == "copy":
@@ -73,10 +104,18 @@ def _body(kind, x_ref, o_ref):
         delta = jax.nn.softplus(x * 0.1 - 1.0)
         a = jnp.exp(delta * -0.7)
         y = _scan(a, delta * x)
+    elif kind == "scan2":
+        y = _scan2(jnp.clip(x * 0.01, -0.9, 0.0) + 0.9, x)
+    elif kind == "chain+scan2":
+        delta = jax.nn.softplus(x * 0.1 - 1.0)
+        a = jnp.exp(delta * -0.7)
+        y = _scan2(a, delta * x)
+    elif kind == "rawcopy":
+        y = x_ref[...]
     o_ref[...] = y.astype(o_ref.dtype)
 
 
-def probe(kind, rows=1048576, cols=256, dtype=jnp.bfloat16):
+def probe(kind, rows=524288, cols=256, dtype=jnp.bfloat16):
     x = jnp.ones((rows, cols), dtype) * 0.5
     spec = pl.BlockSpec((T, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
     f = jax.jit(lambda a: pl.pallas_call(
@@ -96,7 +135,8 @@ def probe(kind, rows=1048576, cols=256, dtype=jnp.bfloat16):
 
 def main():
     print(f"device: {jax.devices()[0]}, tile T={T}, bf16 I/O, fp32 compute")
-    for kind in ("copy", "mul", "exp", "chain", "scan", "chain+scan"):
+    for kind in ("rawcopy", "copy", "mul", "exp", "chain", "scan", "scan2",
+                 "chain+scan", "chain+scan2"):
         probe(kind)
 
 

@@ -979,6 +979,10 @@ def _folded_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
     wx, wdt = x_proj_w.astype(f32), dt_w.astype(f32)
     bias, Dsf = dt_b.astype(f32), Ds.astype(f32)
 
+    if not train and (kind == "raster" or H == W):
+        # inference: two-phase paired-direction passes (fewer HBM map passes)
+        return _two_phase_forward(x_flat, wx, wdt, bias, A, Dsf, ln_scale, ln_bias,
+                                  w_out, kind, H, W, interp)
     rows_sel = jnp.asarray([0, 2])
     cols_sel = jnp.asarray([1, 3])
     c02 = c13 = c_line = None
@@ -1203,28 +1207,350 @@ def _folded_freq_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_
 
     perm, inv, sel_a, sel_b = _freq_perms(kind, H, W, param)
     xp, xpt = perm(x_flat)
-    ca = cb = None
-    ys_a = _seq_rows(xp, wx[sel_a], wdt[sel_a], bias[sel_a], A[sel_a], Dsf[sel_a], interp,
-                     emit_carries=train)
-    ys_b = _seq_rows(xpt, wx[sel_b], wdt[sel_b], bias[sel_b], A[sel_b], Dsf[sel_b], interp,
-                     emit_carries=train)
-    if train:
-        ys_a, ca = ys_a
-        ys_b, cb = ys_b
     prm = (param or 4) if kind == "dilation" else param
-    if not train and _freq_merge_ok(kind, H, W, D, prm):
-        # fold dir-sum + inverse permutation + LN/GELU/proj into one kernel
-        return _freq_merge_pallas(ys_a, ys_b, ln_scale, ln_bias, w_out, kind, H, W,
-                                  prm, interpret=interp)
+    if not train:
+        # two-phase paired directions: each family's sum in one output map
+        sa = _seq_pair(xp, wx[sel_a], wdt[sel_a], bias[sel_a], A[sel_a],
+                       Dsf[sel_a], interp)
+        sb = _seq_pair(xpt, wx[sel_b], wdt[sel_b], bias[sel_b], A[sel_b],
+                       Dsf[sel_b], interp)
+        if _freq_merge_ok(kind, H, W, D, prm, B):
+            # fold inverse permutation + LN/GELU/proj into one kernel
+            return _freq_merge_pallas(sa, sb, ln_scale, ln_bias, w_out, kind, H, W,
+                                      prm, interpret=interp)
+        y = inv(sa, sb).astype(f32)
+        return _ln_gelu_proj(y, ln_scale, ln_bias, w_out, x_flat.dtype)
+    ys_a, ca = _seq_rows(xp, wx[sel_a], wdt[sel_a], bias[sel_a], A[sel_a], Dsf[sel_a],
+                         interp, emit_carries=True)
+    ys_b, cb = _seq_rows(xpt, wx[sel_b], wdt[sel_b], bias[sel_b], A[sel_b], Dsf[sel_b],
+                         interp, emit_carries=True)
     # direction sums + inverse permutation in the model dtype: the gathers are
     # pure data movement, and fp32 here doubles their HBM traffic
     sa = ys_a[:, 0] + ys_a[:, 1]
     sb = ys_b[:, 0] + ys_b[:, 1]
     y = inv(sa, sb).astype(f32)
     out = _ln_gelu_proj(y, ln_scale, ln_bias, w_out, x_flat.dtype)
-    if train:
-        return out, (y, ca, cb)
-    return out
+    return out, (y, ca, cb)
+
+
+# ---------------------------------------------------------------------------
+# Two-phase direction pairs (inference): recompute is near-free on this VPU
+# (scripts/vpu_probe.py: the softplus/exp chain runs at ~copy bandwidth), so
+# a cheap summary pass + a tiny XLA carry scan let one second pass compute a
+# family's forward AND reversed directions together and emit their SUM —
+# and the rows pass doubles as the final merge (+ LN + GELU + out proj).
+# Raster core HBM passes drop from ~10.5 to ~6.25 map-sizes.
+# ---------------------------------------------------------------------------
+
+
+def _proj_ab(x, wx, wdt, bias, A, R, prec):
+    f32 = jnp.float32
+    dbc = jax.lax.dot_general(x, wx.astype(f32), (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32, precision=prec)
+    dt = jax.lax.dot_general(dbc[:, :R], wdt.astype(f32), (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32, precision=prec)
+    delta = jax.nn.softplus(dt + bias.astype(f32))
+    a = jnp.exp(delta * A.astype(f32))
+    b = delta * x * dbc[:, R : R + 1]
+    return dbc, a, b
+
+
+def _reduce_chunk(a, b, reverse):
+    """Chunk total of the recurrence as a pairwise tree — O(T) work (the
+    phase-1 pass must NOT pay the O(T log T) scan; vpu_probe.py shows the
+    scan is the kernels' dominant compute).  Returns (A_prod, h_total)."""
+    T = a.shape[0]
+    D = a.shape[-1]
+    while T > 1 and T % 2 == 0:
+        a2 = a.reshape(T // 2, 2, D)
+        b2 = b.reshape(T // 2, 2, D)
+        if reverse:  # segment fold, later rows applied first: h = b0 + a0*b1
+            b = b2[:, 0] + a2[:, 0] * b2[:, 1]
+        else:  # h = a1 * b0 + b1
+            b = a2[:, 1] * b2[:, 0] + b2[:, 1]
+        a = a2[:, 0] * a2[:, 1]
+        T //= 2
+    # small odd residue: sequential fold over the remaining segment results
+    At, bt = a[0:1], b[0:1]
+    for i in range(1, T):
+        if reverse:
+            bt = bt + At * b[i : i + 1]
+        else:
+            bt = a[i : i + 1] * bt + b[i : i + 1]
+        At = At * a[i : i + 1]
+    return At, bt
+
+
+def _pair_phase1_kernel(R, transposed, hi, x_ref, wx_ref, wdt_ref, bias_ref, A_ref,
+                        out_ref):
+    """Per-chunk scan summaries for a (fwd, rev) direction pair: out block
+    (1, 1, 2, 2, D) = [dir][A_prod | h_local]."""
+    prec = jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT
+    blk = x_ref[0]
+    if transposed:
+        blk = jnp.swapaxes(blk, 0, 1)
+    T = blk.shape[0] * blk.shape[1]
+    x = blk.reshape(T, -1).astype(jnp.float32)
+    _, a_e, b_e = _proj_ab(x, wx_ref[0], wdt_ref[0], bias_ref[0], A_ref[0], R, prec)
+    Ae, he = _reduce_chunk(a_e, b_e, reverse=False)
+    _, a_o, b_o = _proj_ab(x, wx_ref[1], wdt_ref[1], bias_ref[1], A_ref[1], R, prec)
+    Ao, ho = _reduce_chunk(a_o, b_o, reverse=True)
+    out_ref[0, 0, 0, 0] = Ae[0]
+    out_ref[0, 0, 0, 1] = he[0]
+    out_ref[0, 0, 1, 0] = Ao[0]
+    out_ref[0, 0, 1, 1] = ho[0]
+
+
+def _carries_kernel(nT, s_ref, out_ref):
+    """Exclusive (A, h) chains over the chunk summaries — one tiny kernel
+    per family instead of XLA associative scans (whose fixed per-op cost at
+    these sizes ate the two-phase savings)."""
+    f32 = jnp.float32
+    c = jnp.zeros((1, s_ref.shape[-1]), f32)
+    for t in range(nT):  # fwd dir: ascending chunks
+        out_ref[0, 0, t] = c[0]
+        c = s_ref[0, t, 0, 0].astype(f32) * c + s_ref[0, t, 0, 1].astype(f32)
+    c = jnp.zeros_like(c)
+    for t in range(nT - 1, -1, -1):  # rev dir: descending chunks
+        out_ref[0, 1, t] = c[0]
+        c = s_ref[0, t, 1, 0].astype(f32) * c + s_ref[0, t, 1, 1].astype(f32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pair_carries(summ, interpret=False):
+    """summ (B, nT, 2, 2, D) f32 -> carries (B, 2, nT, D): exclusive chain of
+    (A, h) pairs — ascending chunks for the fwd dir, descending for rev."""
+    B, nT, _, _, D = summ.shape
+    return pl.pallas_call(
+        functools.partial(_carries_kernel, nT),
+        out_shape=jax.ShapeDtypeStruct((B, 2, nT, D), jnp.float32),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, nT, 2, 2, D), lambda b: (b, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 2, nT, D), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(summ)
+
+
+def _pair_phase2_kernel(R, transposed, hi, emit_merge, has_line, x_ref, c_ref,
+                        wx_ref, wdt_ref, bias_ref, A_ref, Ds_ref, *rest):
+    """Both directions of a family with precomputed carries, emitted SUMMED.
+    ``emit_merge``: also read the other family's summed map (+ optional line
+    map) and finish with LN + GELU + out projection."""
+    prec = jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT
+    f32 = jnp.float32
+    if emit_merge:
+        if has_line:
+            yob_ref, yline_ref, s_ref, b_ref, wout_ref, out_ref = rest
+        else:
+            yob_ref, s_ref, b_ref, wout_ref, out_ref = rest
+            yline_ref = None
+    else:
+        (out_ref,) = rest
+    blk = x_ref[0]
+    if transposed:
+        blk = jnp.swapaxes(blk, 0, 1)
+    shp = blk.shape
+    T = shp[0] * shp[1]
+    x = blk.reshape(T, -1).astype(f32)
+    y = None
+    for d, rev in ((0, False), (1, True)):
+        dbc, a, b = _proj_ab(x, wx_ref[d], wdt_ref[d], bias_ref[d], A_ref[d], R, prec)
+        A_cum, hp = _scan_chunk(a, b, reverse=rev)
+        h = A_cum * c_ref[0, d, 0, 0].astype(f32) + hp
+        yk = h * dbc[:, R + 1 : R + 2] + x * Ds_ref[d].astype(f32)
+        y = yk if y is None else y + yk
+    if not emit_merge:
+        if transposed:
+            out_ref[0, 0] = jnp.swapaxes(y.reshape(shp), 0, 1).astype(out_ref.dtype)
+        else:
+            out_ref[0, 0] = y.reshape(shp).astype(out_ref.dtype)
+        return
+    # merge tail: + other family's (w-major) summed map, + line map, LN/GELU/proj
+    Tr, W, D = shp
+    yob = yob_ref[0].astype(f32)  # (nTc, Tr, Tc, D)
+    yob = jnp.swapaxes(yob, 0, 1).reshape(T, D)
+    y = y + yob
+    if yline_ref is not None:
+        y = y + yline_ref[0].astype(f32)
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean((y - mean) ** 2, axis=-1, keepdims=True)
+    y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+    y = y * s_ref[...].astype(f32) + b_ref[...].astype(f32)
+    y = 0.5 * y * (1.0 + _erf(y * jnp.float32(0.7071067811865476)))
+    y = jax.lax.dot_general(y.astype(wout_ref.dtype), wout_ref[...],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32, precision=prec)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _pair_par(*s):
+    return pl.BlockSpec(s, lambda b, t: (0,) * len(s), memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("transposed", "interpret"))
+def _pair_phase1(ximg, wx2, wdt2, bias2, A2, transposed=False, interpret=False):
+    B, H, W, D = ximg.shape
+    if transposed:
+        Tc = _col_chunk(W, H, D)
+        nT = W // Tc
+        x_spec = pl.BlockSpec((1, H, Tc, D), lambda b, t: (b, 0, t, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        Tr = _row_chunk(H, W, D)
+        nT = H // Tr
+        x_spec = pl.BlockSpec((1, Tr, W, D), lambda b, t: (b, t, 0, 0),
+                              memory_space=pltpu.VMEM)
+    R = wdt2.shape[-1]
+    C = wx2.shape[1]
+    return pl.pallas_call(
+        functools.partial(_pair_phase1_kernel, R, transposed,
+                          ximg.dtype == jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, nT, 2, 2, D), jnp.float32),
+        grid=(B, nT),
+        in_specs=[x_spec, _pair_par(2, C, D), _pair_par(2, D, R), _pair_par(2, 1, D),
+                  _pair_par(2, 1, D)],
+        out_specs=pl.BlockSpec((1, 1, 2, 2, D), lambda b, t: (b, t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(ximg, wx2, wdt2, bias2[:, None, :], A2[:, None, :])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pair_phase2_cols(ximg, carries, wx2, wdt2, bias2, A2, Ds2, interpret=False):
+    """Summed (dir1 + dir3) map in w-major chunk layout (B, nTc, H, Tc, D)."""
+    B, H, W, D = ximg.shape
+    Tc = _col_chunk(W, H, D)
+    nT = W // Tc
+    R = wdt2.shape[-1]
+    C = wx2.shape[1]
+    return pl.pallas_call(
+        functools.partial(_pair_phase2_kernel, R, True, ximg.dtype == jnp.float32,
+                          False, False),
+        out_shape=jax.ShapeDtypeStruct((B, nT, H, Tc, D), ximg.dtype),
+        grid=(B, nT),
+        in_specs=[
+            pl.BlockSpec((1, H, Tc, D), lambda b, t: (b, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 1, 1, D), lambda b, t: (b, 0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _pair_par(2, C, D), _pair_par(2, D, R), _pair_par(2, 1, D),
+            _pair_par(2, 1, D), _pair_par(2, 1, D),
+        ],
+        out_specs=pl.BlockSpec((1, 1, H, Tc, D), lambda b, t: (b, t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(ximg, carries[:, :, :, None], wx2, wdt2, bias2[:, None, :], A2[:, None, :],
+      Ds2[:, None, :])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pair_phase2_rows_merge(ximg, carries, y13sum, y_line, wx2, wdt2, bias2, A2, Ds2,
+                            ln_scale, ln_bias, w_out, interpret=False):
+    """Rows family (dir0 + dir2) + full merge tail -> (B, L, d_model)."""
+    B, H, W, D = ximg.shape
+    Tr = _row_chunk(H, W, D)
+    nT = H // Tr
+    nTc, Tc = y13sum.shape[1], y13sum.shape[3]
+    dm = w_out.shape[-1]
+    R = wdt2.shape[-1]
+    C = wx2.shape[1]
+    has_line = y_line is not None
+    in_specs = [
+        pl.BlockSpec((1, Tr, W, D), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, 1, 1, D), lambda b, t: (b, 0, t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        _pair_par(2, C, D), _pair_par(2, D, R), _pair_par(2, 1, D),
+        _pair_par(2, 1, D), _pair_par(2, 1, D),
+        pl.BlockSpec((1, nTc, Tr, Tc, D), lambda b, t: (b, 0, t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [ximg, carries[:, :, :, None], wx2, wdt2, bias2[:, None, :],
+            A2[:, None, :], Ds2[:, None, :], y13sum]
+    if has_line:
+        in_specs.append(pl.BlockSpec((1, Tr * W, D), lambda b, t: (b, t, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(y_line)
+    in_specs += [_pair_par(1, D), _pair_par(1, D), _pair_par(D, dm)]
+    args += [ln_scale.astype(jnp.float32)[None], ln_bias.astype(jnp.float32)[None],
+             w_out.astype(ximg.dtype)]
+    return pl.pallas_call(
+        functools.partial(_pair_phase2_kernel, R, False, ximg.dtype == jnp.float32,
+                          True, has_line),
+        out_shape=jax.ShapeDtypeStruct((B, H * W, dm), ximg.dtype),
+        grid=(B, nT),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, Tr * W, dm), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pair_phase2_rows_plain(ximg, carries, wx2, wdt2, bias2, A2, Ds2, interpret=False):
+    """Summed (fwd + rev) map in row-chunk pixel layout (B, nT, Tr, W, D)."""
+    B, H, W, D = ximg.shape
+    Tr = _row_chunk(H, W, D)
+    nT = H // Tr
+    R = wdt2.shape[-1]
+    C = wx2.shape[1]
+    return pl.pallas_call(
+        functools.partial(_pair_phase2_kernel, R, False, ximg.dtype == jnp.float32,
+                          False, False),
+        out_shape=jax.ShapeDtypeStruct((B, nT, Tr, W, D), ximg.dtype),
+        grid=(B, nT),
+        in_specs=[
+            pl.BlockSpec((1, Tr, W, D), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 1, 1, D), lambda b, t: (b, 0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _pair_par(2, C, D), _pair_par(2, D, R), _pair_par(2, 1, D),
+            _pair_par(2, 1, D), _pair_par(2, 1, D),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Tr, W, D), lambda b, t: (b, t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(ximg, carries[:, :, :, None], wx2, wdt2, bias2[:, None, :], A2[:, None, :],
+      Ds2[:, None, :])
+
+
+def _seq_pair(x_perm, wx2, wdt2, bias2, A2, Ds2, interp):
+    """Two-phase (fwd + rev) pair over a flat permuted sequence: returns the
+    directions' SUM (B, L, D) — replaces _seq_rows + the XLA direction sum."""
+    B, L, D = x_perm.shape
+    Wc = _seq_width(L, D)
+    view = x_perm.reshape(B, L // Wc, Wc, D)
+    s = _pair_phase1(view, wx2, wdt2, bias2, A2, transposed=False, interpret=interp)
+    c = _pair_carries(s, interpret=interp)
+    y = _pair_phase2_rows_plain(view, c, wx2, wdt2, bias2, A2, Ds2, interpret=interp)
+    return y.reshape(B, L, D)
+
+
+def _two_phase_forward(x_flat, wx, wdt, bias, A, Dsf, ln_scale, ln_bias, w_out,
+                       kind, H, W, interp):
+    """Inference raster/line core via summary + carry + paired-direction
+    passes; reference CUDA fwd being replaced: csms6s.py:918-919."""
+    B, L, D = x_flat.shape
+    ximg = x_flat.reshape(B, H, W, D)
+    rows_sel = jnp.asarray([0, 2])
+    cols_sel = jnp.asarray([1, 3])
+    y_line = None
+    if kind == "line":
+        y_line = _line_pair_forward(x_flat, wx[4:], wdt[4:], bias[4:], A[4:],
+                                    Dsf[4:], H, W, interp).astype(x_flat.dtype)
+    s13 = _pair_phase1(ximg, wx[cols_sel], wdt[cols_sel], bias[cols_sel],
+                       A[cols_sel], transposed=True, interpret=interp)
+    c13 = _pair_carries(s13, interpret=interp)
+    y13 = _pair_phase2_cols(ximg, c13, wx[cols_sel], wdt[cols_sel], bias[cols_sel],
+                            A[cols_sel], Dsf[cols_sel], interpret=interp)
+    s02 = _pair_phase1(ximg, wx[rows_sel], wdt[rows_sel], bias[rows_sel],
+                       A[rows_sel], transposed=False, interpret=interp)
+    c02 = _pair_carries(s02, interpret=interp)
+    return _pair_phase2_rows_merge(ximg, c02, y13, y_line, wx[rows_sel],
+                                   wdt[rows_sel], bias[rows_sel], A[rows_sel],
+                                   Dsf[rows_sel], ln_scale, ln_bias, w_out,
+                                   interpret=interp)
 
 
 # ---------------------------------------------------------------------------
@@ -1242,16 +1568,16 @@ def _freq_merge_kernel(eps, kind, prm, Tr, W, hi, a_ref, b_ref, s_ref, bi_ref,
     D = a_ref.shape[-1]
     if kind == "dilation":
         r = prm
-        sa = (a_ref[0, 0] + a_ref[0, 1]).astype(f32)  # (r, Tr*W//r, D)
+        sa = a_ref[0].astype(f32)  # (r, Tr*W//r, D)
         sa = jnp.transpose(sa, (1, 0, 2)).reshape(Tr * W, D)  # p = i*r + phase
-        sb = (b_ref[0, 0] + b_ref[0, 1]).astype(f32)  # (r, W, Tr//r, D)
+        sb = b_ref[0].astype(f32)  # (r, W, Tr//r, D)
         sb = jnp.transpose(sb, (2, 0, 1, 3)).reshape(Tr * W, D)  # (h, w) major
     else:  # window
         ws = prm
         nwi = W // ws
-        sa = (a_ref[0, 0] + a_ref[0, 1]).astype(f32).reshape(nwi, ws, ws, D)
+        sa = a_ref[0, 0].astype(f32).reshape(nwi, ws, ws, D)
         sa = jnp.transpose(sa, (1, 0, 2, 3)).reshape(Tr * W, D)  # (r_in, wi, c_in)
-        sb = (b_ref[0, 0, :, 0] + b_ref[0, 1, :, 0]).astype(f32).reshape(nwi, ws, ws, D)
+        sb = b_ref[0, :, 0].astype(f32).reshape(nwi, ws, ws, D)
         sb = jnp.transpose(sb, (2, 0, 1, 3)).reshape(Tr * W, D)  # (h_in, wi, w_in)
     y = sa + sb
     mean = jnp.mean(y, axis=-1, keepdims=True)
@@ -1260,7 +1586,7 @@ def _freq_merge_kernel(eps, kind, prm, Tr, W, hi, a_ref, b_ref, s_ref, bi_ref,
     y = y * s_ref[...].astype(f32) + bi_ref[...].astype(f32)
     y = 0.5 * y * (1.0 + _erf(y * jnp.float32(0.7071067811865476)))
     prec = jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT
-    y = jax.lax.dot_general(y, w_ref[...].astype(f32), (((1,), (0,)), ((), ())),
+    y = jax.lax.dot_general(y.astype(w_ref.dtype), w_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=f32, precision=prec)
     out_ref[0] = y.astype(out_ref.dtype)
 
@@ -1274,50 +1600,52 @@ def _freq_merge_rows(kind, H, W, D, prm):
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "H", "W", "prm", "interpret"))
-def _freq_merge_pallas(ys_a, ys_b, ln_scale, ln_bias, w_out, kind: str, H: int, W: int,
+def _freq_merge_pallas(sa, sb, ln_scale, ln_bias, w_out, kind: str, H: int, W: int,
                        prm: int, interpret=False):
-    """ys_a: (B, 2, L, D) both directions over the permuted map; ys_b: same
-    over the transposed map.  Emits (B, L, d_model) in pixel order."""
-    B, _, L, D = ys_a.shape
+    """sa: (B, L, D) direction-summed map in permuted order; sb: same over
+    the transposed map.  Emits (B, L, d_model) in pixel order."""
+    B, L, D = sa.shape
     dm = w_out.shape[-1]
     Tr = _freq_merge_rows(kind, H, W, D, prm)
     nT = H // Tr
     if kind == "dilation":
         r = prm
-        a_view = ys_a.reshape(B, 2, r, L // r, D)
-        a_spec = pl.BlockSpec((1, 2, r, Tr * W // r, D), lambda b, t: (b, 0, 0, t, 0),
+        a_view = sa.reshape(B, r, L // r, D)
+        a_spec = pl.BlockSpec((1, r, Tr * W // r, D), lambda b, t: (b, 0, t, 0),
                               memory_space=pltpu.VMEM)
-        b_view = ys_b.reshape(B, 2, r, W, H // r, D)
-        b_spec = pl.BlockSpec((1, 2, r, W, Tr // r, D), lambda b, t: (b, 0, 0, 0, t, 0),
+        b_view = sb.reshape(B, r, W, H // r, D)
+        b_spec = pl.BlockSpec((1, r, W, Tr // r, D), lambda b, t: (b, 0, 0, t, 0),
                               memory_space=pltpu.VMEM)
     else:
         ws = prm
-        a_view = ys_a.reshape(B, 2, H // ws, (W // ws) * ws * ws, D)
-        a_spec = pl.BlockSpec((1, 2, 1, (W // ws) * ws * ws, D),
+        a_view = sa.reshape(B, H // ws, (W // ws) * ws * ws, D)
+        a_spec = pl.BlockSpec((1, 1, (W // ws) * ws * ws, D),
+                              lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM)
+        b_view = sb.reshape(B, W // ws, H // ws, ws * ws, D)
+        b_spec = pl.BlockSpec((1, W // ws, 1, ws * ws, D),
                               lambda b, t: (b, 0, t, 0, 0), memory_space=pltpu.VMEM)
-        b_view = ys_b.reshape(B, 2, W // ws, H // ws, ws * ws, D)
-        b_spec = pl.BlockSpec((1, 2, W // ws, 1, ws * ws, D),
-                              lambda b, t: (b, 0, 0, t, 0, 0), memory_space=pltpu.VMEM)
     par = lambda *s: pl.BlockSpec(s, lambda b, t: (0,) * len(s), memory_space=pltpu.VMEM)
-    hi = bool(ys_a.dtype == jnp.float32)
+    hi = bool(sa.dtype == jnp.float32)
     return pl.pallas_call(
         functools.partial(_freq_merge_kernel, 1e-5, kind, prm, Tr, W, hi),
-        out_shape=jax.ShapeDtypeStruct((B, L, dm), ys_a.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, L, dm), sa.dtype),
         grid=(B, nT),
         in_specs=[a_spec, b_spec, par(1, D), par(1, D), par(D, dm)],
         out_specs=pl.BlockSpec((1, Tr * W, dm), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(a_view, b_view, ln_scale.astype(jnp.float32)[None, :],
-      ln_bias.astype(jnp.float32)[None, :], w_out)
+      ln_bias.astype(jnp.float32)[None, :], w_out.astype(sa.dtype))
 
 
-def _freq_merge_ok(kind, H, W, D, prm):
+def _freq_merge_ok(kind, H, W, D, prm, B=16):
     if kind == "dilation":
         r = prm
-        # whole-map fold only (see _freq_merge_rows); bound the fp32 tile
+        # whole-map fold only (see _freq_merge_rows); bound the fp32 tile.
+        # Mosaic's scoped-vmem accounting grows slightly with batch (observed
+        # 16.11M at B=32 vs <16M at B=16 for identical blocks), so gate on B.
         return (H % r == 0 and W % r == 0 and (H * W) % 8 == 0
-                and H * W * D * 4 <= 2_500_000)
+                and H * W * D * 4 <= 2_400_000 and B <= 16)
     ws = prm
     return H % ws == 0 and W % ws == 0 and (ws * ws) % 8 == 0
 
