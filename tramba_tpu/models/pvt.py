@@ -19,7 +19,8 @@ from tramba_tpu.nn.layers import DropPath, trunc_normal_init
 
 __all__ = ["PVTv2Encoder", "pvt_v2_b4_config"]
 
-_dense = lambda f, name, bias=True: nn.Dense(f, use_bias=bias, kernel_init=trunc_normal_init, name=name)
+_dense = lambda f, name, bias=True, dtype=None: nn.Dense(
+    f, use_bias=bias, kernel_init=trunc_normal_init, dtype=dtype, name=name)
 
 
 class SRAttention(nn.Module):
@@ -36,7 +37,7 @@ class SRAttention(nn.Module):
         B, N, C = x.shape
         nh = self.num_heads
         hd = C // nh
-        q = _dense(C, "q", self.qkv_bias)(x).reshape(B, N, nh, hd).transpose(0, 2, 1, 3)
+        q = _dense(C, "q", self.qkv_bias, dtype=self.dtype)(x).reshape(B, N, nh, hd).transpose(0, 2, 1, 3)
         if self.sr_ratio > 1:
             xr = x.reshape(B, H, W, C)
             xr = nn.Conv(C, (self.sr_ratio, self.sr_ratio), strides=self.sr_ratio,
@@ -45,12 +46,12 @@ class SRAttention(nn.Module):
             xr = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(xr)
         else:
             xr = x
-        kv = _dense(C * 2, "kv", self.qkv_bias)(xr).reshape(B, -1, 2, nh, hd).transpose(2, 0, 3, 1, 4)
+        kv = _dense(C * 2, "kv", self.qkv_bias, dtype=self.dtype)(xr).reshape(B, -1, 2, nh, hd).transpose(2, 0, 3, 1, 4)
         k, v = kv[0], kv[1]
         attn = (q @ k.transpose(0, 1, 3, 2)) * (hd**-0.5)
         attn = nn.softmax(attn, axis=-1)
         out = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, C)
-        return _dense(C, "proj")(out)
+        return _dense(C, "proj", dtype=self.dtype)(out)
 
 
 class DWConvMlp(nn.Module):
@@ -62,13 +63,13 @@ class DWConvMlp(nn.Module):
     @nn.compact
     def __call__(self, x, H, W):
         B, N, C = x.shape
-        x = _dense(self.hidden, "fc1")(x)
+        x = _dense(self.hidden, "fc1", dtype=self.dtype)(x)
         xr = x.reshape(B, H, W, self.hidden)
         xr = nn.Conv(self.hidden, (3, 3), padding=1, feature_group_count=self.hidden,
                      dtype=self.dtype, name="dwconv")(xr)
         x = xr.reshape(B, N, self.hidden)
         x = nn.gelu(x, approximate=False)
-        x = _dense(C, "fc2")(x)
+        x = _dense(C, "fc2", dtype=self.dtype)(x)
         return x
 
 

@@ -24,7 +24,8 @@ from tramba_tpu.nn.layers import DropPath, trunc_normal_init
 
 __all__ = ["SwinEncoder", "swin_b_384_config"]
 
-_dense = lambda f, name, bias=True: nn.Dense(f, use_bias=bias, kernel_init=trunc_normal_init, name=name)
+_dense = lambda f, name, bias=True, dtype=None: nn.Dense(
+    f, use_bias=bias, kernel_init=trunc_normal_init, dtype=dtype, name=name)
 _ln = lambda name, dtype: nn.LayerNorm(epsilon=1e-5, dtype=dtype, name=name)
 
 
@@ -78,7 +79,7 @@ class WindowAttention(nn.Module):
     def __call__(self, x, mask=None):
         Bn, N, C = x.shape
         nh, hd = self.num_heads, C // self.num_heads
-        qkv = _dense(3 * C, "qkv")(x).reshape(Bn, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        qkv = _dense(3 * C, "qkv", dtype=self.dtype)(x).reshape(Bn, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] * (hd**-0.5), qkv[1], qkv[2]
         attn = q @ k.transpose(0, 1, 3, 2)  # (Bn, nh, N, N)
 
@@ -93,7 +94,7 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(Bn, nh, N, N)
         attn = nn.softmax(attn, axis=-1)
         out = (attn @ v).transpose(0, 2, 1, 3).reshape(Bn, N, C)
-        return _dense(C, "proj")(out)
+        return _dense(C, "proj", dtype=self.dtype)(out)
 
 
 class SwinBlock(nn.Module):
@@ -124,9 +125,9 @@ class SwinBlock(nn.Module):
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         x = x + DropPath(self.drop_path)(y.reshape(B, L, C), deterministic)
         y = _ln("norm2", self.dtype)(x)
-        y = _dense(int(C * self.mlp_ratio), "mlp_fc1")(y)
+        y = _dense(int(C * self.mlp_ratio), "mlp_fc1", dtype=self.dtype)(y)
         y = nn.gelu(y, approximate=False)
-        y = _dense(C, "mlp_fc2")(y)
+        y = _dense(C, "mlp_fc2", dtype=self.dtype)(y)
         x = x + DropPath(self.drop_path)(y, deterministic)
         return x
 
@@ -143,7 +144,7 @@ class PatchMerging(nn.Module):
         parts = [xr[:, 0::2, 0::2], xr[:, 1::2, 0::2], xr[:, 0::2, 1::2], xr[:, 1::2, 1::2]]
         y = jnp.concatenate(parts, axis=-1).reshape(B, L // 4, 4 * C)
         y = _ln("norm", self.dtype)(y)
-        return _dense(2 * C, "reduction", bias=False)(y)
+        return _dense(2 * C, "reduction", bias=False, dtype=self.dtype)(y)
 
 
 def swin_b_384_config():
