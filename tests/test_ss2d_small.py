@@ -115,5 +115,6 @@ def test_small_line_matches_composed():
     y_c = composed_ss2d_small_line(*a)
     y_f = fused_ss2d_small_line(*a)
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c), rtol=3e-4, atol=3e-4)
-    assert smallmap_line_ok(24, 24, 512, 1024, jnp.bfloat16)
-    assert not smallmap_line_ok(48, 48, 256, 512, jnp.bfloat16)
+    assert smallmap_line_ok(24, 24, 512, 1024, jnp.bfloat16, enable=True)
+    assert not smallmap_line_ok(48, 48, 256, 512, jnp.bfloat16, enable=True)
+    assert not smallmap_line_ok(24, 24, 512, 1024, jnp.bfloat16)  # opt-in

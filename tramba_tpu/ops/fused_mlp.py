@@ -75,8 +75,10 @@ def _hidden_chunk(hidden: int) -> int:
 
 
 def _row_chunk_mlp(H: int, W: int, hidden: int) -> int:
-    """Rows per block: bound the fp32 (Tr+6, W+6, chunk) tile to ~2.5 MB."""
-    budget = 5 * 1024 * 1024 // (8 * (W + 6) * _hidden_chunk(hidden))
+    """Rows per block: bound the fp32 (Tr+6, W+6, chunk) tile to ~1.7 MB
+    (Mosaic's scoped-vmem stack accounting is generous with the unrolled
+    conv-tap temps; 2.4 MB tiles OOM'd on the PVT variant's 48px/512h FFN)."""
+    budget = 7 * 1024 * 1024 // (16 * (W + 6) * _hidden_chunk(hidden))
     best = 0
     for tr in range(2, H + 1, 2):
         if H % tr == 0 and tr + 6 <= budget:

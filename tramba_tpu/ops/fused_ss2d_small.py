@@ -284,10 +284,16 @@ fused_ss2d_small.defvjp(_small_fwd, _small_bwd)
 from tramba_tpu.ops.fused_ss2d import _scan_chunk_lines  # noqa: E402
 
 
-def smallmap_line_ok(H: int, W: int, d_model: int, d_inner: int, dtype) -> bool:
+def smallmap_line_ok(H: int, W: int, d_model: int, d_inner: int, dtype,
+                     enable: bool = False) -> bool:
+    # measured on-chip: the whole-map K=8 kernel (128-wide grid chunks to fit
+    # scoped vmem, 8x redundant projections) runs at parity-to-slightly-slower
+    # than the two-phase pipeline at the flagship's 24px stage (150.9 vs
+    # 148.1 ms full model), so it stays opt-in.
     L = H * W
     return (
-        H == W
+        enable
+        and H == W
         and smallmap_ok(H, W, d_model, d_inner, dtype)
         and 2 * L * L * jnp.dtype(dtype).itemsize <= 3 * 1024 * 1024
     )
@@ -362,8 +368,8 @@ def _small_line_kernel(R, H, W, Dc, hi, x_ref, wx_ref, wdt_ref, bias_ref, A_ref,
         h = scan_flip(a, b) if flip else _scan_full(a, b, rev)
         return h * dbck[:, R + 1 : R + 2] + sc * Ds_ref[k, 0, pl.ds(c * Dc, Dc)].astype(f32)
 
-    xc = jax.lax.dynamic_slice_in_dim(x, c * Dc, Dc, axis=1).astype(f32)
-    xcT = jax.lax.dynamic_slice_in_dim(xT, c * Dc, Dc, axis=1).astype(f32)
+    xc = x_ref[0, :, pl.ds(c * Dc, Dc)].astype(f32)  # (L, Dc)
+    xcT = jnp.swapaxes(xc.reshape(H, W, Dc), 0, 1).reshape(L, Dc)
     yc = dir_y(0, xc, dbc[0]) + dir_y(2, xc, dbc[2], rev=True)
     yT = dir_y(1, xcT, dbc[1]) + dir_y(3, xcT, dbc[3], rev=True)
     yc = yc + jnp.swapaxes(yT.reshape(W, H, Dc), 0, 1).reshape(L, Dc)
@@ -385,7 +391,9 @@ def _small_line_pallas(x, x_proj_w, dt_w, dt_b, A_logs, Ds,
     R = dt_w.shape[-1]
     cd = x.dtype
     f32 = jnp.float32
-    Dc = _d_chunk(D)
+    # narrower chunks than the raster kernel: 8 unrolled directions' temps
+    # share the scoped-vmem stack without slot reuse
+    Dc = 128 if D > 128 else D
     nC = D // Dc
     A = -jnp.exp(A_logs.astype(f32))[..., 0]  # (8, D)
     S0, S1 = _line_small_selectors(H, W, cd)
@@ -403,7 +411,7 @@ def _small_line_pallas(x, x_proj_w, dt_w, dt_b, A_logs, Ds,
         out_specs=pl.BlockSpec((1, L, Dc), lambda b, c: (b, 0, c),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, x_proj_w.astype(f32), dt_w.astype(f32),
+    )(x, x_proj_w.astype(cd), dt_w.astype(cd),
       dt_b.astype(f32)[:, None], A[:, None], Ds.astype(f32)[:, None], S0, S1)
     return _lgp_pallas(y_sum, ln_scale, ln_bias, w_out, interpret=interpret)
 
