@@ -107,7 +107,8 @@ def ffn_branch(x, dim: int, mlp_ratio: float, backend: Optional[str], dtype,
     hidden = int(dim * mlp_ratio)
     B, H, W, _ = x.shape
     if kind == "plain":
-        if _kernel_ok(backend) and mlp_fusable(dim, hidden, dtype) and (H * W) % 8 == 0:
+        if (_kernel_ok(backend) and (H * W) % 8 == 0
+                and mlp_fusable(dim, hidden, dtype, force=backend == "pallas")):
             ln_s, ln_b = _NormParams(dim, name="norm2")()
             (w1, b1), (w2, b2) = _MlpP(dim, hidden, name="mlp")()
             y = fused_ln_mlp(x.reshape(B, H * W, dim), ln_s, ln_b, w1, b1, w2, b2)

@@ -45,8 +45,11 @@ def _weight_bytes(d: int, hidden: int, dtype) -> int:
     return 2 * d * hidden * jnp.dtype(dtype).itemsize
 
 
-def mlp_fusable(d: int, hidden: int, dtype) -> bool:
-    return d % 8 == 0 and hidden % 128 == 0 and _weight_bytes(d, hidden, dtype) <= _WEIGHT_BUDGET
+def mlp_fusable(d: int, hidden: int, dtype, force=False) -> bool:
+    # bf16 only on hardware (fp32 = the parity path; composed XLA is fine)
+    return (d % 8 == 0 and hidden % 128 == 0
+            and (force or jnp.dtype(dtype).itemsize == 2)
+            and _weight_bytes(d, hidden, dtype) <= _WEIGHT_BUDGET)
 
 
 def dwmsmlp_fusable(H: int, W: int, d: int, hidden: int, dtype, force=False) -> bool:
@@ -55,7 +58,7 @@ def dwmsmlp_fusable(H: int, W: int, d: int, hidden: int, dtype, force=False) -> 
     # (scripts/op_bench.py: 24px/2048h fused 5.8 ms vs composed 2.7 ms), so
     # the pixel floor is a perf gate (bypassed by backend='pallas' test mode)
     return (
-        mlp_fusable(d, hidden, dtype)
+        mlp_fusable(d, hidden, dtype, force)
         and W % 8 == 0
         and (force or H * W >= 2304)
         and _row_chunk_mlp(H, W, hidden) >= 4

@@ -27,10 +27,13 @@ def prologue_fusable(H: int, W: int, d_model: int, d_inner: int, dtype, force=Fa
     # small spatial tiles starve the MXU and measure slower than composed XLA
     # (scripts/op_bench.py: 24px/1024ch fused 2.7 ms vs composed 1.9 ms), so
     # the pixel floor is a perf gate (bypassed by backend='pallas' test mode)
+    # bf16 only on hardware: the fp32 tiles double and blow Mosaic's scoped
+    # vmem at 384px (the fp32 path is the parity oracle; composed is fine)
     return (
         W % 8 == 0
         and d_inner % 128 == 0
         and (force or H * W >= 2304)
+        and (force or jnp.dtype(dtype).itemsize == 2)
         and _row_chunk(H, W, d_inner) >= 2
         and 2 * d_model * d_inner * jnp.dtype(dtype).itemsize <= 8 * 1024 * 1024
     )

@@ -1214,7 +1214,7 @@ def _folded_freq_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_
                        Dsf[sel_a], interp)
         sb = _seq_pair(xpt, wx[sel_b], wdt[sel_b], bias[sel_b], A[sel_b],
                        Dsf[sel_b], interp)
-        if _freq_merge_ok(kind, H, W, D, prm, B):
+        if _freq_merge_ok(kind, H, W, D, prm, B, jnp.dtype(x_flat.dtype).itemsize):
             # fold inverse permutation + LN/GELU/proj into one kernel
             return _freq_merge_pallas(sa, sb, ln_scale, ln_bias, w_out, kind, H, W,
                                       prm, interpret=interp)
@@ -1638,7 +1638,12 @@ def _freq_merge_pallas(sa, sb, ln_scale, ln_bias, w_out, kind: str, H: int, W: i
       ln_bias.astype(jnp.float32)[None, :], w_out.astype(sa.dtype))
 
 
-def _freq_merge_ok(kind, H, W, D, prm, B=16):
+def _freq_merge_ok(kind, H, W, D, prm, B=16, itemsize=2):
+    if kind == "window":
+        ws = prm
+        # band tile must fit (fp32 at 96px does not; that path composes)
+        if ws * W * D * itemsize > 1_600_000:
+            return False
     if kind == "dilation":
         r = prm
         # whole-map fold only (see _freq_merge_rows); bound the fp32 tile.
