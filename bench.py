@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from tramba_tpu.utils.cache import enable_compilation_cache
+from tramba_tpu.utils.jit import tramba_jit
 
 
 def main():
@@ -26,9 +27,9 @@ def main():
     dtype = jnp.bfloat16
     model = TrambaV(dtype=dtype)
     x = jnp.zeros((batch, 384, 384, 3), dtype)
-    params = jax.jit(lambda k: model.init(k, x))(jax.random.key(0))
+    params = tramba_jit(lambda k: model.init(k, x))(jax.random.key(0))
 
-    @jax.jit
+    @tramba_jit
     def fwd(p, a):
         outs = model.apply(p, a)
         # full-res saliency head + a scalar handle to force completion

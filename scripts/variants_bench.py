@@ -37,14 +37,15 @@ def main():
     B = args.batch
     from tramba_tpu.models.registry import build
     from tramba_tpu.utils.cache import enable_compilation_cache
+    from tramba_tpu.utils.jit import tramba_jit
 
     enable_compilation_cache()
     x = jnp.zeros((B, 384, 384, 3), jnp.bfloat16)
     for method in ("Tramba-V-TSOD", "Tramba-S-TSOD", "Tramba-P-TSOD", "Tramba-R-TSOD",
                    "BaseUMamba-SOD"):
         model = build(method, dtype=jnp.bfloat16)
-        variables = jax.jit(lambda k, m=model: m.init(k, x))(jax.random.key(0))
-        f = jax.jit(lambda v, a, m=model: m.apply(v, a)[-1])
+        variables = tramba_jit(lambda k, m=model: m.init(k, x))(jax.random.key(0))
+        f = tramba_jit(lambda v, a, m=model: m.apply(v, a)[-1])
         dt = _time(f, variables, x)
         print(f"  {method:<14} {dt * 1e3:7.1f} ms  {B / dt:6.1f} img/s  (batch {B}, bf16, 384px)")
 

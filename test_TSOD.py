@@ -48,5 +48,6 @@ if __name__ == "__main__":
             from tramba_tpu.utils.profiling import measure_inference_speed
 
             x = jnp.zeros((1, args.img_size, args.img_size, 3), jnp.float32)
-            fwd = jax.jit(lambda a: model.apply(variables, a)[-1])
+            from tramba_tpu.utils.jit import tramba_jit
+            fwd = tramba_jit(lambda a: model.apply(variables, a)[-1])
             measure_inference_speed(fwd, (x,), batch=1)

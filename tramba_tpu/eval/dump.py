@@ -33,7 +33,9 @@ def dump_saliency_maps(model, variables, data_root: str, save_path: str, img_siz
     ds = SODDataset(data_root, list(sets), img_size, mode="test")
     loader = BatchLoader(ds, batch_size=batch_size, shuffle=False)
 
-    @jax.jit
+    from tramba_tpu.utils.jit import tramba_jit
+
+    @tramba_jit
     def infer(v, images):
         # params passed as arguments (closing over them would embed hundreds
         # of MB of constants into the compiled program)

@@ -75,7 +75,10 @@ def make_train_step(donate: bool = True):
         )
         return new_state, {"loss": loss}
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    from tramba_tpu.utils.jit import compiler_options
+
+    return jax.jit(step, donate_argnums=(0,) if donate else (),
+                   compiler_options=compiler_options())
 
 
 def make_eval_step():
@@ -86,4 +89,6 @@ def make_eval_step():
         outs = state.apply_fn(variables, images, deterministic=True)
         return jax.nn.sigmoid(outs[-1].astype(jnp.float32))
 
-    return jax.jit(step)
+    from tramba_tpu.utils.jit import compiler_options
+
+    return jax.jit(step, compiler_options=compiler_options())
