@@ -13,6 +13,8 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
+
+from tramba_tpu.utils.jit import tramba_jit
 import numpy as np
 
 
@@ -55,30 +57,30 @@ def main():
         x = t(B, H, H, Dm)
         rows = []
         fb = FreqBlock(dim=Dm, window=window_for_resolution(H), dilation=4, dtype=dt)
-        p = jax.jit(lambda k, m=fb, a=x: m.init(k, a))(jax.random.key(0))
-        rows.append(("FreqBlock", _time(jax.jit(lambda p, a, m=fb: m.apply(p, a)), p, x)))
+        p = tramba_jit(lambda k, m=fb, a=x: m.init(k, a))(jax.random.key(0))
+        rows.append(("FreqBlock", _time(tramba_jit(lambda p, a, m=fb: m.apply(p, a)), p, x)))
         ms = MultiScaleDecoderBlock(hidden_dim=Dm, dtype=dt)
-        p = jax.jit(lambda k, m=ms, a=x: m.init(k, a))(jax.random.key(0))
-        rows.append(("MSBlock (x2)", _time(jax.jit(lambda p, a, m=ms: m.apply(p, a)), p, x)))
+        p = tramba_jit(lambda k, m=ms, a=x: m.init(k, a))(jax.random.key(0))
+        rows.append(("MSBlock (x2)", _time(tramba_jit(lambda p, a, m=ms: m.apply(p, a)), p, x)))
         # line SS2D alone vs raster SS2D (same dims) to isolate the K=8 machinery
         s_line = SS2D(d_model=Dm, scan_kind="line", k_group=8, dtype=dt)
-        p = jax.jit(lambda k, m=s_line, a=x: m.init(k, a))(jax.random.key(0))
-        rows.append(("SS2D line K=8", _time(jax.jit(lambda p, a, m=s_line: m.apply(p, a)), p, x)))
+        p = tramba_jit(lambda k, m=s_line, a=x: m.init(k, a))(jax.random.key(0))
+        rows.append(("SS2D line K=8", _time(tramba_jit(lambda p, a, m=s_line: m.apply(p, a)), p, x)))
         s_rast = SS2D(d_model=Dm, scan_kind="raster", k_group=4, dtype=dt)
-        p = jax.jit(lambda k, m=s_rast, a=x: m.init(k, a))(jax.random.key(0))
-        rows.append(("SS2D raster K=4", _time(jax.jit(lambda p, a, m=s_rast: m.apply(p, a)), p, x)))
+        p = tramba_jit(lambda k, m=s_rast, a=x: m.init(k, a))(jax.random.key(0))
+        rows.append(("SS2D raster K=4", _time(tramba_jit(lambda p, a, m=s_rast: m.apply(p, a)), p, x)))
         pe = PatchExpand(dtype=dt)
         xin = t(B, H // 2, H // 2, 2 * Dm)
-        p = jax.jit(lambda k, m=pe, a=xin: m.init(k, a))(jax.random.key(0))
-        rows.append(("PatchExpand", _time(jax.jit(lambda p, a, m=pe: m.apply(p, a)), p, xin)))
+        p = tramba_jit(lambda k, m=pe, a=xin: m.init(k, a))(jax.random.key(0))
+        rows.append(("PatchExpand", _time(tramba_jit(lambda p, a, m=pe: m.apply(p, a)), p, xin)))
         sw = SS2D(d_model=Dm, scan_kind="window", scan_param=window_for_resolution(H), dtype=dt)
-        p = jax.jit(lambda k, m=sw, a=x: m.init(k, a))(jax.random.key(0))
-        rows.append(("SS2D window", _time(jax.jit(lambda p, a, m=sw: m.apply(p, a)), p, x)))
+        p = tramba_jit(lambda k, m=sw, a=x: m.init(k, a))(jax.random.key(0))
+        rows.append(("SS2D window", _time(tramba_jit(lambda p, a, m=sw: m.apply(p, a)), p, x)))
         sd = SS2D(d_model=Dm, scan_kind="dilation", scan_param=4, dtype=dt)
-        p = jax.jit(lambda k, m=sd, a=x: m.init(k, a))(jax.random.key(0))
-        rows.append(("SS2D dilation", _time(jax.jit(lambda p, a, m=sd: m.apply(p, a)), p, x)))
+        p = tramba_jit(lambda k, m=sd, a=x: m.init(k, a))(jax.random.key(0))
+        rows.append(("SS2D dilation", _time(tramba_jit(lambda p, a, m=sd: m.apply(p, a)), p, x)))
         from tramba_tpu.ops.dct import dct2d
-        rows.append(("dct2d", _time(jax.jit(lambda a: dct2d(a)), x)))
+        rows.append(("dct2d", _time(tramba_jit(lambda a: dct2d(a)), x)))
         print(f"stage {label} ({H}px, {Dm}ch):")
         for name, dtm in rows:
             print(f"  {name:<18} {dtm * 1e3:7.2f} ms")

@@ -15,6 +15,8 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
+
+from tramba_tpu.utils.jit import tramba_jit
 import numpy as np
 
 
@@ -36,8 +38,8 @@ def _time(fn, *args, iters=20, warmup=3):
 
 
 def bench_pair(name, f_fused, f_comp, args, n=1):
-    tf = _time(jax.jit(f_fused), *args)
-    tc = _time(jax.jit(f_comp), *args)
+    tf = _time(tramba_jit(f_fused), *args)
+    tc = _time(tramba_jit(f_comp), *args)
     print(f"  {name:<28} fused {tf * 1e3:7.3f} ms  composed {tc * 1e3:7.3f} ms  "
           f"x{n:<2} -> saves {(tc - tf) * n * 1e3:6.2f} ms/fwd")
     return (tc - tf) * n
@@ -94,17 +96,17 @@ def main():
 
     x = t(B, 384, 384, 3)
     enc = VSSMEncoder(depths=(2, 2, 15, 2), dims=128, dtype=dt)
-    pe = jax.jit(lambda k: enc.init(k, x))(jax.random.key(0))
-    te = _time(jax.jit(lambda p, a: enc.apply(p, a)[-1]), pe, x, iters=10)
+    pe = tramba_jit(lambda k: enc.init(k, x))(jax.random.key(0))
+    te = _time(tramba_jit(lambda p, a: enc.apply(p, a)[-1]), pe, x, iters=10)
     print(f"  encoder alone: {te * 1e3:.1f} ms")
-    skips = jax.jit(lambda p, a: enc.apply(p, a))(pe, x)
+    skips = tramba_jit(lambda p, a: enc.apply(p, a))(pe, x)
     dec = TrambaDecoder(features_per_stage=[128, 256, 512, 1024], dtype=dt)
-    pd = jax.jit(lambda k: dec.init(k, skips))(jax.random.key(0))
-    td = _time(jax.jit(lambda p, s: dec.apply(p, s)[-1]), pd, skips, iters=10)
+    pd = tramba_jit(lambda k: dec.init(k, skips))(jax.random.key(0))
+    td = _time(tramba_jit(lambda p, s: dec.apply(p, s)[-1]), pd, skips, iters=10)
     print(f"  decoder alone (incl. guides): {td * 1e3:.1f} ms")
     model = TrambaV(dtype=dt)
-    pm = jax.jit(lambda k: model.init(k, x))(jax.random.key(0))
-    tm = _time(jax.jit(lambda p, a: model.apply(p, a)[-1]), pm, x, iters=10)
+    pm = tramba_jit(lambda k: model.init(k, x))(jax.random.key(0))
+    tm = _time(tramba_jit(lambda p, a: model.apply(p, a)[-1]), pm, x, iters=10)
     print(f"  full model: {tm * 1e3:.1f} ms ({B / tm:.1f} img/s)")
 
 
@@ -116,8 +118,8 @@ def batch_scaling():
     model = TrambaV(dtype=dt)
     for B in (8, 16, 24, 32):
         x = jnp.zeros((B, 384, 384, 3), dt)
-        p = jax.jit(lambda k, a=x: model.init(k, a))(jax.random.key(0))
-        f = jax.jit(lambda p, a: jnp.sum(model.apply(p, a)[-1].astype(jnp.float32)))
+        p = tramba_jit(lambda k, a=x: model.init(k, a))(jax.random.key(0))
+        f = tramba_jit(lambda p, a: jnp.sum(model.apply(p, a)[-1].astype(jnp.float32)))
         tm = _time(f, p, x, iters=10)
         print(f"  batch {B:>2}: {tm * 1e3:7.1f} ms  {B / tm:6.1f} img/s")
 

@@ -74,18 +74,19 @@ def _pick_chunk(L: int, target: int) -> int:
 
 
 def _hidden_chunk(hidden: int) -> int:
-    # 256 max: a single 512-wide chunk measures 22 MB of Mosaic scoped-vmem
-    # stack (the 83 conv-tap temps scale with chunk width), 256 fits
-    return hidden if hidden <= 256 else 256
+    # 512 max: a single 512-wide chunk measures ~22 MB of Mosaic scoped-vmem
+    # stack (the 83 conv-tap temps scale with chunk width) — inside the
+    # raised 32 MB limit that entry points set via utils/jit.tramba_jit
+    return hidden if hidden <= 512 else 512
 
 
 def _row_chunk_mlp(H: int, W: int, hidden: int) -> int:
     """Rows per block: bound the (Tr+6)*(W+6)*chunk tile to ~300K elements.
-    Empirical envelope (on-chip compile probes): 14x54x256 and 10x102x256
-    fit Mosaic's scoped-vmem stack, 14x102x256 and 14x54x512 do not — the
-    83 unrolled conv-tap temps are charged per element with a ~large
-    multiplier, so the analytic byte budget under-predicts."""
-    budget = 300_000 // ((W + 6) * _hidden_chunk(hidden))
+    Empirical envelope (on-chip compile probes, 32 MB scoped-vmem limit
+    via utils/jit.tramba_jit): ~600K elements; the 83 unrolled conv-tap
+    temps are charged per element with a large multiplier, so analytic
+    byte budgets under-predict."""
+    budget = 600_000 // ((W + 6) * _hidden_chunk(hidden))
     best = 0
     for tr in range(2, H + 1, 2):
         if H % tr == 0 and tr + 6 <= budget:

@@ -1646,11 +1646,10 @@ def _freq_merge_ok(kind, H, W, D, prm, B=16, itemsize=2):
             return False
     if kind == "dilation":
         r = prm
-        # whole-map fold only (see _freq_merge_rows); bound the fp32 tile.
-        # Mosaic's scoped-vmem accounting grows slightly with batch (observed
-        # 16.11M at B=32 vs <16M at B=16 for identical blocks), so gate on B.
+        # whole-map fold only (see _freq_merge_rows); bound the fp32 tile
+        # (~5 MB fits the raised 32 MB scoped-vmem limit set by tramba_jit)
         return (H % r == 0 and W % r == 0 and (H * W) % 8 == 0
-                and H * W * D * 4 <= 2_400_000 and B <= 16)
+                and H * W * D * 4 <= 5_000_000 and B <= 32)
     ws = prm
     return H % ws == 0 and W % ws == 0 and (ws * ws) % 8 == 0
 
