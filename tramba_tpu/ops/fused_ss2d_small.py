@@ -34,9 +34,11 @@ def smallmap_ok(H: int, W: int, d_model: int, d_inner: int, dtype) -> bool:
     bpe = jnp.dtype(dtype).itemsize
     L = H * W
     # the kernel keeps ~4 map-sized buffers in the model dtype plus chunked
-    # fp32 working tiles; the budget scales with the dtype
+    # fp32 working tiles; bf16 only on hardware (the fp32 parity path may be
+    # jitted without utils/jit.tramba_jit's raised scoped-vmem limit)
     return (
         L % 8 == 0
+        and bpe == 2
         and L * d_inner * bpe * 2 <= 2_500_000
         and d_inner % 128 == 0
         and (d_model * d_inner + d_inner * d_model) * bpe <= 9 * 1024 * 1024
@@ -76,7 +78,8 @@ def _small_kernel(R, H, W, has_pro, has_ln, hi, *refs):
         if has_ln:
             s1_ref, b1_ref = next(it), next(it)
         w_in_ref, convk_ref = next(it), next(it)
-    wx_ref, wdt_ref, bias_ref, A_ref, Ds_ref, out_ref = (next(it) for _ in range(6))
+    wx_ref, wdt_ref, bias_ref, A_ref, Ds_ref = (next(it) for _ in range(5))
+    s2_ref, b2_ref, wout_ref, out_ref = (next(it) for _ in range(4))
     prec = jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT
     f32 = jnp.float32
     L = H * W
@@ -126,6 +129,12 @@ def _small_kernel(R, H, W, has_pro, has_ln, hi, *refs):
         for k, seq in ((0, x), (1, xT), (2, x), (3, xT))
     ]
 
+    # chunked direction sums with streaming LN stats, then the LN + GELU +
+    # out-proj tail — one kernel end to end (needs the 32 MB scoped-vmem
+    # limit set by utils/jit.tramba_jit; ~20 MB stack at stage-3 shapes)
+    ln_sum = jnp.zeros((L, 1), f32)
+    ln_sq = jnp.zeros((L, 1), f32)
+    chunks = []
     for c0 in range(0, D, Dc):
         yc = jnp.zeros((L, Dc), f32)
         for k, seq, rev in ((0, x, False), (1, xT, False), (2, x, True), (3, xT, True)):
@@ -141,7 +150,21 @@ def _small_kernel(R, H, W, has_pro, has_ln, hi, *refs):
             if k in (1, 3):  # transposed-pixel order -> pixel order
                 yk = jnp.swapaxes(yk.reshape(W, H, Dc), 0, 1).reshape(L, Dc)
             yc = yc + yk
-        out_ref[0, :, c0 : c0 + Dc] = yc.astype(out_ref.dtype)
+        ln_sum = ln_sum + jnp.sum(yc, axis=-1, keepdims=True)
+        ln_sq = ln_sq + jnp.sum(yc * yc, axis=-1, keepdims=True)
+        chunks.append(yc.astype(cd) if cd != f32 else yc)
+    mean = ln_sum / D
+    var = ln_sq / D - mean * mean
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    out = jnp.zeros((L, wout_ref.shape[-1]), f32)
+    for ci, c0 in enumerate(range(0, D, Dc)):
+        y = (chunks[ci].astype(f32) - mean) * rstd * s2_ref[0, c0 : c0 + Dc].astype(f32) \
+            + b2_ref[0, c0 : c0 + Dc].astype(f32)
+        y = 0.5 * y * (1.0 + _erf(y * jnp.float32(0.7071067811865476)))
+        out = out + jax.lax.dot_general(
+            y.astype(cd), wout_ref[c0 : c0 + Dc, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec)
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
@@ -166,18 +189,19 @@ def _small_pallas(x, ln1, w_in, conv_k, x_proj_w, dt_w, dt_b, A_logs, Ds,
         in_specs += [par(dm_or_d, D), par(3, 3, D)]
         args += [w_in.astype(cd), conv_k.reshape(3, 3, D).astype(cd)]
     C = x_proj_w.shape[1]
-    in_specs += [par(4, C, D), par(4, D, R), par(4, 1, D), par(4, 1, D), par(4, 1, D)]
+    in_specs += [par(4, C, D), par(4, D, R), par(4, 1, D), par(4, 1, D), par(4, 1, D),
+                 par(1, D), par(1, D), par(D, dm)]
     args += [x_proj_w.astype(f32), dt_w.astype(f32), dt_b.astype(f32)[:, None],
-             A[:, None], Ds.astype(f32)[:, None]]
-    y_sum = pl.pallas_call(
+             A[:, None], Ds.astype(f32)[:, None],
+             ln_scale.astype(f32)[None], ln_bias.astype(f32)[None], w_out.astype(cd)]
+    return pl.pallas_call(
         functools.partial(_small_kernel, R, H, W, has_pro, has_ln, cd == jnp.float32),
-        out_shape=jax.ShapeDtypeStruct((B, L, D), cd),
+        out_shape=jax.ShapeDtypeStruct((B, L, dm), cd),
         grid=(B,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, L, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, L, dm), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*args)
-    return _lgp_pallas(y_sum, ln_scale, ln_bias, w_out, interpret=interpret)
 
 
 def _lgp_kernel(hi, y_ref, s_ref, b_ref, w_ref, out_ref):
