@@ -1646,10 +1646,12 @@ def _freq_merge_ok(kind, H, W, D, prm, B=16, itemsize=2):
             return False
     if kind == "dilation":
         r = prm
-        # whole-map fold only (see _freq_merge_rows); bound the fp32 tile
-        # (~5 MB fits the raised 32 MB scoped-vmem limit set by tramba_jit)
+        # whole-map fold only (see _freq_merge_rows).  The dtype-scaled
+        # budget keeps the fp32 parity path within the DEFAULT 16 MB scoped
+        # vmem (external jits may not raise it); bf16 gets 2x the map, which
+        # needs utils/jit.tramba_jit's 32 MB limit at 48px.
         return (H % r == 0 and W % r == 0 and (H * W) % 8 == 0
-                and H * W * D * 4 <= 5_000_000 and B <= 32)
+                and H * W * D * itemsize <= 2_500_000 and B <= 32)
     ws = prm
     return H % ws == 0 and W % ws == 0 and (ws * ws) % 8 == 0
 
