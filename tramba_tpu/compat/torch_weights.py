@@ -52,8 +52,26 @@ class _TrackedSD(dict):
 # analytically here (ops/dct.py), never loaded
 _IGNORABLE = (
     "attn_mask", "relative_position_index", "num_batches_tracked",
-    "total_ops", "total_params", "rope", ".DCT2D.",
+    "total_ops", "total_params", "rope", "DCT2D",
 )
+
+
+def _ignorable(key: str, patterns) -> bool:
+    """Match patterns against dotted key COMPONENTS (a pattern is a dotted
+    component sequence; the final component may be a prefix, for indexed
+    buffers like ``attn_mask0``) — not bare substring containment, so a
+    learned parameter merely containing e.g. 'rope' inside a longer name is
+    still surfaced by the strict leftover check."""
+    parts = key.split(".")
+    for p in patterns:
+        pp = p.split(".")
+        n = len(pp)
+        for i in range(len(parts) - n + 1):
+            seg = parts[i : i + n]
+            if all(a == b or (j == n - 1 and a.startswith(b))
+                   for j, (a, b) in enumerate(zip(seg, pp))):
+                return True
+    return False
 
 
 def check_consumed(sd, strict: bool = True, ignore: Sequence[str] = ()):
@@ -62,7 +80,7 @@ def check_consumed(sd, strict: bool = True, ignore: Sequence[str] = ()):
     if not isinstance(sd, _TrackedSD):
         return []
     left = [k for k in sd if k not in sd.accessed
-            and not any(p in k for p in (*_IGNORABLE, *ignore))]
+            and not _ignorable(k, (*_IGNORABLE, *ignore))]
     if left:
         msg = (f"converter left {len(left)} reference parameters unconsumed "
                f"(first 10): {sorted(left)[:10]}")

@@ -17,6 +17,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tramba_tpu.ops.fused_mlp import _ln
+from tramba_tpu.ops.fused_ss2d import _vcall
 
 __all__ = ["fused_expand2", "composed_expand2", "expand2_fusable"]
 
@@ -62,7 +63,7 @@ def _expand_pallas(x, w, ln_scale, ln_bias, interpret=False):
     nT = H // Tr
     cd = x.dtype
     par = lambda *s: pl.BlockSpec(s, lambda b, t: (0,) * len(s), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return _vcall(
         functools.partial(_expand_kernel, cd == jnp.float32, Tr, W),
         out_shape=jax.ShapeDtypeStruct((B, 2 * H, 2 * W, co), cd),
         grid=(B, nT),

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tramba_tpu.ops.fused_ss2d import _erf
+from tramba_tpu.ops.fused_ss2d import _erf, _vcall
 
 __all__ = ["fused_ln_mlp", "fused_ln_dwmsmlp", "mlp_fusable", "dwmsmlp_fusable"]
 
@@ -123,7 +123,7 @@ def _mlp_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, interpret=False):
     vec = lambda v: v.astype(jnp.float32)[None, :]
     par = lambda a, bdim: pl.BlockSpec((a, bdim), lambda b, t: (0, 0),
                                        memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return _vcall(
         functools.partial(_mlp_kernel, x.dtype == jnp.float32),
         out_shape=jax.ShapeDtypeStruct((B, L, D), x.dtype),
         grid=(B, nT),
@@ -236,7 +236,7 @@ def _dwms_pallas(x, ln_scale, ln_bias, w1, b1, k3, c3, k5, c5, k7, c7, w2, b2,
     par = lambda *s: pl.BlockSpec(s, lambda b, t: (0,) * len(s), memory_space=pltpu.VMEM)
     xspec = lambda f: pl.BlockSpec((1, Tr, W, D), lambda b, t: (b, f(t), 0, 0),
                                    memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return _vcall(
         functools.partial(_dwms_kernel, x.dtype == jnp.float32, Tr, H, W,
                           hidden_chunk or _hidden_chunk(Hd)),
         out_shape=jax.ShapeDtypeStruct((B, H, W, D), x.dtype),

@@ -19,6 +19,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tramba_tpu.ops.fused_mlp import _ln
+from tramba_tpu.ops.fused_ss2d import _vcall
 
 __all__ = ["fused_prologue", "composed_prologue", "prologue_fusable"]
 
@@ -113,7 +114,7 @@ def _prologue_pallas(x, ln_scale, ln_bias, w_in, conv_k, interpret=False, row_ch
         args += [vec(ln_scale), vec(ln_bias)]
     in_specs += [par(Dm, D), par(3, 3, D)]
     args += [w_in.astype(cd), conv_k.reshape(3, 3, D).astype(cd)]
-    return pl.pallas_call(
+    return _vcall(
         functools.partial(_prologue_kernel, x.dtype == jnp.float32, has_ln, Tr, H, W,
                           inner_chunk or _inner_chunk(D)),
         out_shape=jax.ShapeDtypeStruct((B, H, W, D), x.dtype),

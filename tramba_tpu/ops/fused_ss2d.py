@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tramba_tpu.ops.selective_scan import linear_scan
+from tramba_tpu.ops.selective_scan import _vcall, linear_scan
 
 __all__ = ["fused_ss2d_core", "composed_ss2d_core"]
 
@@ -126,7 +126,7 @@ def _fused_pallas(xs3, wx, wdt, bias, A, Ds, K: int, R: int, chunk: int = 256,
         out_shape.append(jax.ShapeDtypeStruct((BK, nT, 1, D), jnp.float32))
         out_specs.append(pl.BlockSpec((1, 1, 1, D), lambda r, t: (r, t, 0, 0),
                                       memory_space=pltpu.VMEM))
-    res = pl.pallas_call(
+    res = _vcall(
         functools.partial(_fused_kernel, R, xs3.dtype == jnp.float32, emit_carries),
         out_shape=out_shape,
         grid=grid,
@@ -343,7 +343,7 @@ def _rows_pallas(ximg, wx, wdt, bias, A, Ds, interpret=False, emit_carries=False
             lambda b, k, t: (b, k, jnp.where(k == 0, t, nT - 1 - t), 0, 0),
             memory_space=pltpu.VMEM,
         ))
-    res = pl.pallas_call(
+    res = _vcall(
         functools.partial(_dirs_kernel, R, False, ximg.dtype == jnp.float32, emit_carries),
         out_shape=out_shape,
         grid=(B, 2, nT),
@@ -388,7 +388,7 @@ def _cols_pallas(ximg, wx, wdt, bias, A, Ds, interpret=False, emit_carries=False
             lambda b, k, t: (b, k, jnp.where(k == 0, t, nT - 1 - t), 0, 0),
             memory_space=pltpu.VMEM,
         ))
-    res = pl.pallas_call(
+    res = _vcall(
         functools.partial(_dirs_kernel, R, True, ximg.dtype == jnp.float32, emit_carries),
         out_shape=out_shape,
         grid=(B, 2, nT),
@@ -490,7 +490,7 @@ def _merge_pallas(y02, y13, y_line, scale, bias, w_out, H: int, W: int, interpre
         out_shape.append(jax.ShapeDtypeStruct((B, L, D), y02.dtype))
         out_specs.append(pl.BlockSpec((1, Tr * W, D), lambda b, t: (b, t, 0),
                                       memory_space=pltpu.VMEM))
-    res = pl.pallas_call(
+    res = _vcall(
         functools.partial(_merge_kernel, 1e-5, has_line, hi, emit_ysum),
         out_shape=out_shape,
         grid=(B, nTr),
@@ -692,7 +692,7 @@ def _dirs_bwd_call(ximg, gimg, carries, wx, wdt, bias, A, Ds, transposed, blk_sh
         dx_spec = pl.BlockSpec((1, 1, 1) + blk_shape,
                                lambda b, t, _c=cmap: (b, 0, _c(t)) + (0,) * len(blk_shape),
                                memory_space=pltpu.VMEM)
-        res = pl.pallas_call(
+        res = _vcall(
             functools.partial(_dirs_bwd_kernel, R, transposed, hi, k == 0),
             out_shape=[jax.ShapeDtypeStruct((B, 1, nT) + blk_shape, ximg.dtype)]
             + [jax.ShapeDtypeStruct((B,) + s, jnp.float32) for s in p_shapes],
@@ -703,7 +703,6 @@ def _dirs_bwd_call(ximg, gimg, carries, wx, wdt, bias, A, Ds, transposed, blk_sh
             scratch_shapes=[pltpu.VMEM((1, D), jnp.float32)],
             # the adjoint holds ~2x the forward's live chunk state; the
             # default 16MB scoped limit trips at the 96x96/D=256 stages
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(ximg, gimg, carries, wx, wdt, bias[:, None, :], A[:, None, :], Ds[:, None, :])
         outs.append(res)
@@ -789,7 +788,7 @@ def _seq_bwd_pallas(xs3, g3, carries, wx, wdt, bias, A, Ds, K: int, R: int,
     par_out = lambda *s: pl.BlockSpec((1,) + s, lambda r, t: (r,) + (0,) * len(s),
                                       memory_space=pltpu.VMEM)
     p_shapes = [(R, D), (1, D), (1, D), (D, R), (1, D), (1, D), (1, D)]
-    res = pl.pallas_call(
+    res = _vcall(
         functools.partial(_seq_bwd_kernel, R, xs3.dtype == jnp.float32, L),
         out_shape=[jax.ShapeDtypeStruct((BK, L, D), xs3.dtype)]
         + [jax.ShapeDtypeStruct((BK,) + s, jnp.float32) for s in p_shapes],
@@ -803,7 +802,6 @@ def _seq_bwd_pallas(xs3, g3, carries, wx, wdt, bias, A, Ds, K: int, R: int,
         ],
         out_specs=[seq_spec] + [par_out(*s) for s in p_shapes],
         scratch_shapes=[pltpu.VMEM((1, D), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xs3, g3, carries, wx, wdt, bias[:, None, :], A[:, None, :], Ds[:, None, :])
     return res[0], res[1:]
@@ -916,7 +914,7 @@ def _line_pair_pallas(seq, wx2, wdt2, bias2, A2, Ds2, Hline: int, R: int,
                                  memory_space=pltpu.VMEM)
     po = lambda *s: pl.BlockSpec((1,) + s, lambda r, t: (1,) + (0,) * len(s),
                                  memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return _vcall(
         functools.partial(_line_pair_kernel, R, Hline, seq.dtype == jnp.float32),
         out_shape=jax.ShapeDtypeStruct((B, L, D), seq.dtype),
         grid=(B, nT),
@@ -1321,7 +1319,7 @@ def _pair_carries(summ, interpret=False):
     """summ (B, nT, 2, 2, D) f32 -> carries (B, 2, nT, D): exclusive chain of
     (A, h) pairs — ascending chunks for the fwd dir, descending for rev."""
     B, nT, _, _, D = summ.shape
-    return pl.pallas_call(
+    return _vcall(
         functools.partial(_carries_kernel, nT),
         out_shape=jax.ShapeDtypeStruct((B, 2, nT, D), jnp.float32),
         grid=(B,),
@@ -1404,7 +1402,7 @@ def _pair_phase1(ximg, wx2, wdt2, bias2, A2, transposed=False, interpret=False):
                               memory_space=pltpu.VMEM)
     R = wdt2.shape[-1]
     C = wx2.shape[1]
-    return pl.pallas_call(
+    return _vcall(
         functools.partial(_pair_phase1_kernel, R, transposed,
                           ximg.dtype == jnp.float32),
         out_shape=jax.ShapeDtypeStruct((B, nT, 2, 2, D), jnp.float32),
@@ -1425,7 +1423,7 @@ def _pair_phase2_cols(ximg, carries, wx2, wdt2, bias2, A2, Ds2, interpret=False)
     nT = W // Tc
     R = wdt2.shape[-1]
     C = wx2.shape[1]
-    return pl.pallas_call(
+    return _vcall(
         functools.partial(_pair_phase2_kernel, R, True, ximg.dtype == jnp.float32,
                           False, False),
         out_shape=jax.ShapeDtypeStruct((B, nT, H, Tc, D), ximg.dtype),
@@ -1475,7 +1473,7 @@ def _pair_phase2_rows_merge(ximg, carries, y13sum, y_line, wx2, wdt2, bias2, A2,
     in_specs += [_pair_par(1, D), _pair_par(1, D), _pair_par(D, dm)]
     args += [ln_scale.astype(jnp.float32)[None], ln_bias.astype(jnp.float32)[None],
              w_out.astype(ximg.dtype)]
-    return pl.pallas_call(
+    return _vcall(
         functools.partial(_pair_phase2_kernel, R, False, ximg.dtype == jnp.float32,
                           True, has_line),
         out_shape=jax.ShapeDtypeStruct((B, H * W, dm), ximg.dtype),
@@ -1495,7 +1493,7 @@ def _pair_phase2_rows_plain(ximg, carries, wx2, wdt2, bias2, A2, Ds2, interpret=
     nT = H // Tr
     R = wdt2.shape[-1]
     C = wx2.shape[1]
-    return pl.pallas_call(
+    return _vcall(
         functools.partial(_pair_phase2_kernel, R, False, ximg.dtype == jnp.float32,
                           False, False),
         out_shape=jax.ShapeDtypeStruct((B, nT, Tr, W, D), ximg.dtype),
@@ -1626,7 +1624,7 @@ def _freq_merge_pallas(sa, sb, ln_scale, ln_bias, w_out, kind: str, H: int, W: i
                               lambda b, t: (b, 0, t, 0, 0), memory_space=pltpu.VMEM)
     par = lambda *s: pl.BlockSpec(s, lambda b, t: (0,) * len(s), memory_space=pltpu.VMEM)
     hi = bool(sa.dtype == jnp.float32)
-    return pl.pallas_call(
+    return _vcall(
         functools.partial(_freq_merge_kernel, 1e-5, kind, prm, Tr, W, hi),
         out_shape=jax.ShapeDtypeStruct((B, L, dm), sa.dtype),
         grid=(B, nT),

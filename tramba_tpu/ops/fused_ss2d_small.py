@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tramba_tpu.ops.fused_ss2d import _erf
+from tramba_tpu.ops.fused_ss2d import _erf, _vcall
 
 __all__ = ["fused_ss2d_small", "smallmap_ok"]
 
@@ -172,7 +172,7 @@ def _small_pallas(x, ln1, w_in, conv_k, x_proj_w, dt_w, dt_b, A_logs, Ds,
                   ln_scale, ln_bias, w_out, H: int, W: int, interpret=False):
     B, L, dm_or_d = x.shape
     has_pro = w_in is not None
-    has_ln = ln1 is not None
+    has_ln = ln1[0] is not None  # ln1 is the (scale, bias) tuple itself
     D = w_in.shape[1] if has_pro else dm_or_d
     dm = w_out.shape[-1]
     R = dt_w.shape[-1]
@@ -194,7 +194,7 @@ def _small_pallas(x, ln1, w_in, conv_k, x_proj_w, dt_w, dt_b, A_logs, Ds,
     args += [x_proj_w.astype(f32), dt_w.astype(f32), dt_b.astype(f32)[:, None],
              A[:, None], Ds.astype(f32)[:, None],
              ln_scale.astype(f32)[None], ln_bias.astype(f32)[None], w_out.astype(cd)]
-    return pl.pallas_call(
+    return _vcall(
         functools.partial(_small_kernel, R, H, W, has_pro, has_ln, cd == jnp.float32),
         out_shape=jax.ShapeDtypeStruct((B, L, dm), cd),
         grid=(B,),
@@ -230,7 +230,7 @@ def _lgp_pallas(y, ln_scale, ln_bias, w_out, interpret=False):
     nT = L // T
     cd = y.dtype
     par = lambda *s: pl.BlockSpec(s, lambda b, t: (0,) * len(s), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return _vcall(
         functools.partial(_lgp_kernel, cd == jnp.float32),
         out_shape=jax.ShapeDtypeStruct((B, L, dm), cd),
         grid=(B, nT),
@@ -423,7 +423,7 @@ def _small_line_pallas(x, x_proj_w, dt_w, dt_b, A_logs, Ds,
     S0, S1 = _line_small_selectors(H, W, cd)
     par = lambda *s: pl.BlockSpec(s, lambda b, c: (0,) * len(s), memory_space=pltpu.VMEM)
     C = x_proj_w.shape[1]
-    y_sum = pl.pallas_call(
+    y_sum = _vcall(
         functools.partial(_small_line_kernel, R, H, W, Dc, cd == jnp.float32),
         out_shape=jax.ShapeDtypeStruct((B, L, D), cd),
         grid=(B, nC),

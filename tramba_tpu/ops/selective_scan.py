@@ -33,6 +33,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Every pallas_call in ops/ goes through _vcall so the raised Mosaic
+# scoped-vmem budget travels WITH the kernel: a caller using plain jax.jit
+# (instead of utils/jit.tramba_jit) still compiles the big-stack megakernels
+# instead of hitting the remote compiler's opaque HTTP-500 at the default
+# 16 MB limit.  Per-pallas_call CompilerParams is probe-verified to forward
+# through the remote AOT compiler just like per-jit compiler_options.
+VMEM_LIMIT_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+_vcall = functools.partial(pl.pallas_call, compiler_params=VMEM_LIMIT_PARAMS)
+
+
 __all__ = ["linear_scan", "selective_scan"]
 
 
@@ -88,7 +98,7 @@ def _linear_scan_pallas(a, b, chunk: int = 256, interpret: bool = False):
     T = min(chunk, L)
     grid = (R, pl.cdiv(C, 128), pl.cdiv(L, T))
     spec = pl.BlockSpec((1, T, 128), lambda r, c, t: (r, t, c), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return _vcall(
         _scan_chunk_kernel,
         out_shape=jax.ShapeDtypeStruct((R, L, C), jnp.float32),
         grid=grid,

@@ -23,6 +23,7 @@ from tramba_tpu.models.registry import build
 from tramba_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
 from tramba_tpu.train import checkpoint as ckpt
 from tramba_tpu.train.optim import make_optimizer
+from tramba_tpu.utils.jit import tramba_jit
 from tramba_tpu.train.step import create_train_state, make_eval_step, make_train_step
 
 __all__ = ["training", "fit", "evaluate_in_loop", "init_model"]
@@ -93,7 +94,7 @@ def init_model(args, model):
     warns, since eval flows load full model weights afterwards.
     """
     x = jnp.zeros((1, args.img_size, args.img_size, 3), jnp.float32)
-    variables = jax.jit(lambda k: model.init(k, x))(jax.random.key(0))
+    variables = tramba_jit(lambda k: model.init(k, x))(jax.random.key(0))
     pre = getattr(args, "pretrained_path", None)
     if not pre:
         return variables
