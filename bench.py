@@ -1,9 +1,14 @@
 """Benchmark: flagship Tramba-V 384px inference throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} — the
-extra keys record the chip's measured HBM copy roofline and where the model
-sits against it (the full kit is scripts/roofline.py).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline target: 500 images/sec/chip @ 384px (BASELINE.md).
+
+Self-auditing perf evidence (VERDICT r2 #2):
+  - the HBM copy roofline is the MEDIAN of >=10 probe runs, with the
+    min/median/max spread reported so the bandwidth-scaled number is
+    auditable (the tunneled chip's probe is noisy run-to-run);
+  - per-segment achieved GB/s vs that roofline is embedded under
+    "segments" (the full kit is scripts/roofline.py).
 
 Note: on the tunneled axon backend, block_until_ready does not synchronize;
 completion is forced by fetching a scalar reduction of the output.
@@ -17,6 +22,8 @@ import jax.numpy as jnp
 
 from tramba_tpu.utils.cache import enable_compilation_cache
 from tramba_tpu.utils.jit import tramba_jit
+
+HBM_PROBE_RUNS = 11
 
 
 def main():
@@ -52,14 +59,24 @@ def main():
     dt = (time.time() - t0) / iters
     ips = batch / dt
 
-    # measured HBM copy roofline on THIS chip (see scripts/roofline.py): the
-    # committed probe, not the spec sheet.  Median of 3 — the tunnel is noisy.
-    # (Per-op segment timings live in scripts/roofline.py / op_bench.py; they
-    # carry a ~2 ms per-call dispatch floor, so their sum is NOT the in-model
-    # kernel share and is no longer reported here.)
+    # measured HBM copy roofline on THIS chip: median of HBM_PROBE_RUNS
+    # passthrough-probe repetitions with the spread reported (the committed
+    # probe, not the spec sheet — see scripts/roofline.py).
     import scripts.roofline as rl
 
-    hbm_gbs = sorted(rl.measure_hbm_bandwidth(mbytes=256)[0] for _ in range(3))[1]
+    probes = sorted(rl.measure_hbm_bandwidth(mbytes=256)[0]
+                    for _ in range(HBM_PROBE_RUNS))
+    hbm_gbs = probes[len(probes) // 2]
+
+    # per-segment achieved bandwidth vs that roofline: the flagship's fused
+    # SS2D kernels at their real shapes (compact; ms + GB/s + roofline frac)
+    seg_rows, seg_total = rl.measure_segments(B=batch, dtype=dtype,
+                                              hbm_gbs=hbm_gbs)
+    segments = [
+        {"seg": r["segment"], "ms": r["ms_per_call"], "n": r["blocks"],
+         "gbps": r["achieved_gbps_est"], "roof": r["roofline_frac"]}
+        for r in seg_rows
+    ]
 
     print(
         json.dumps(
@@ -68,11 +85,20 @@ def main():
                 "value": round(ips, 2),
                 "unit": "img/s",
                 "vs_baseline": round(ips / 500.0, 4),
-                "hbm_copy_gbps_measured": round(hbm_gbs, 1),
                 "model_ms": round(dt * 1e3, 2),
+                "hbm_copy_gbps_median": round(hbm_gbs, 1),
+                "hbm_probe": {
+                    "n": len(probes),
+                    "min": round(probes[0], 1),
+                    "median": round(hbm_gbs, 1),
+                    "max": round(probes[-1], 1),
+                },
                 "vs_baseline_bw_scaled": round(
                     ips / 500.0 * 819.0 / hbm_gbs, 3
                 ),  # vs_baseline if this memory-bound model had v5e-spec HBM BW
+                "ss2d_kernel_ms": round(seg_total * 1e3, 2),
+                "xla_rest_ms": round(dt * 1e3 - seg_total * 1e3, 2),
+                "segments": segments,
             }
         )
     )

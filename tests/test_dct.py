@@ -80,3 +80,14 @@ def test_matches_reference_module():
     np.testing.assert_allclose(
         np.asarray(low).transpose(0, 3, 1, 2), low_t.numpy(), rtol=1e-3, atol=1e-4
     )
+
+
+def test_dct2d_quadrants_matches_split():
+    import numpy as np
+    import jax.numpy as jnp
+    from tramba_tpu.ops.dct import dct2d, dct2d_quadrants, split_high_low
+
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 12, 12, 5)).astype(np.float32))
+    h1, l1 = split_high_low(dct2d(x))
+    h2, l2 = dct2d_quadrants(x)
+    assert jnp.array_equal(h1, h2) and jnp.array_equal(l1, l2)

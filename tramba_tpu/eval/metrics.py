@@ -210,19 +210,30 @@ class SODMetrics:
         self._adp_e = []
         self._e_curves = []
 
-    def step(self, pred: np.ndarray, gt: np.ndarray):
-        """pred: float saliency in [0, 1]; gt: binary mask (any numeric/bool)."""
-        self._mae.append(mae_score(pred, gt))
-        self._sm.append(s_measure(pred, gt))
-        self._wfm.append(weighted_f_measure(pred, gt))
+    @staticmethod
+    def compute_one(pred: np.ndarray, gt: np.ndarray) -> tuple:
+        """Pure per-image metric bundle — safe to run on worker threads
+        (numpy/scipy release the GIL); feed the result to :meth:`append`."""
         adp_f, f_curve, p, r = f_measures(pred, gt)
+        adp_e, e_curve = e_measures(pred, gt)
+        return (mae_score(pred, gt), s_measure(pred, gt),
+                weighted_f_measure(pred, gt), adp_f, f_curve, p, r, adp_e, e_curve)
+
+    def append(self, bundle: tuple):
+        (mae, sm, wfm, adp_f, f_curve, p, r, adp_e, e_curve) = bundle
+        self._mae.append(mae)
+        self._sm.append(sm)
+        self._wfm.append(wfm)
         self._adp_f.append(adp_f)
         self._f_curves.append(f_curve)
         self._p_curves.append(p)
         self._r_curves.append(r)
-        adp_e, e_curve = e_measures(pred, gt)
         self._adp_e.append(adp_e)
         self._e_curves.append(e_curve)
+
+    def step(self, pred: np.ndarray, gt: np.ndarray):
+        """pred: float saliency in [0, 1]; gt: binary mask (any numeric/bool)."""
+        self.append(self.compute_one(pred, gt))
 
     @property
     def count(self) -> int:

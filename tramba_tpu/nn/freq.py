@@ -17,7 +17,7 @@ from flax import linen as nn
 
 from tramba_tpu.nn.layers import DropPath, FreqExpand2D, LayerNorm, Mlp, trunc_normal_init
 from tramba_tpu.nn.ssm import SS2D
-from tramba_tpu.ops.dct import dct2d, split_high_low
+from tramba_tpu.ops.dct import dct2d_quadrants
 
 __all__ = ["FreqSS2D", "FreqBlock"]
 
@@ -52,9 +52,9 @@ class FreqSS2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # DCT in the model dtype (fp32 cast doubled its HBM traffic for bf16
-        # models; the MXU accumulates in fp32 either way)
-        coeffs = dct2d(x)
-        high, low = split_high_low(coeffs)
+        # models; the MXU accumulates in fp32 either way).  Quadrant-direct:
+        # only the two used quadrants are ever computed.
+        high, low = dct2d_quadrants(x)
         high = FreqExpand2D(dtype=self.dtype, name="h_expand")(high)
         low = FreqExpand2D(dtype=self.dtype, name="l_expand")(low)
 

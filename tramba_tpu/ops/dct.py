@@ -15,7 +15,8 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["dct_basis", "dct2d", "idct2d", "split_high_low", "block_dct2d", "block_idct2d"]
+__all__ = ["dct_basis", "dct2d", "dct2d_quadrants", "idct2d", "split_high_low",
+           "block_dct2d", "block_idct2d"]
 
 
 @functools.lru_cache(maxsize=None)
@@ -53,6 +54,24 @@ def idct2d(y: jnp.ndarray) -> jnp.ndarray:
     x = jnp.einsum("bkvc,kh->bhvc", y, bh)
     x = jnp.einsum("bhvc,vw->bhwc", x, bw)
     return x
+
+
+def dct2d_quadrants(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(high, low) DFVSS quadrants of the 2-D DCT, computed directly.
+
+    Bit-identical to ``split_high_low(dct2d(x))`` (same contractions in the
+    same order, restricted to the needed basis rows) but does HALF the DCT
+    FLOPs — the two discarded off-diagonal quadrants are never computed —
+    and the quadrant slice copies disappear.
+    """
+    B, H, W, C = x.shape
+    bw = dct_basis(W).astype(x.dtype)
+    bh = dct_basis(H).astype(x.dtype)
+    ylo = jnp.einsum("bhwc,vw->bhvc", x, bw[: W // 2])
+    low = jnp.einsum("bhvc,kh->bkvc", ylo, bh[: H // 2])
+    yhi = jnp.einsum("bhwc,vw->bhvc", x, bw[W // 2 :])
+    high = jnp.einsum("bhvc,kh->bkvc", yhi, bh[H // 2 :])
+    return high, low
 
 
 def split_high_low(coeffs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

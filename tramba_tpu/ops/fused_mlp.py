@@ -25,7 +25,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tramba_tpu.ops.fused_ss2d import _erf, _vcall
 
-__all__ = ["fused_ln_mlp", "fused_ln_dwmsmlp", "mlp_fusable", "dwmsmlp_fusable"]
+__all__ = ["fused_ln_mlp", "fused_ln_dwmsmlp", "fused_ln_dwmlp",
+           "mlp_fusable", "dwmsmlp_fusable", "dwmlp_fusable"]
 
 # VMEM budget for resident weights (bytes, in the kernel compute dtype).
 _WEIGHT_BUDGET = 9 * 1024 * 1024
@@ -293,3 +294,134 @@ def _dwms_bwd(res, g):
 
 
 fused_ln_dwmsmlp.defvjp(_dwms_fwd, _dwms_bwd)
+
+
+# ---------------------------------------------------------------------------
+# LN + depthwise-conv FFN chain (PVTv2's DWConvMlp: fc1 -> dw3x3 -> GELU ->
+# fc2, pvtv2_encoder.py:19-54 — the conv REPLACES the hidden, no identity sum)
+# ---------------------------------------------------------------------------
+
+
+def _row_chunk_dw(H: int, W: int, hidden: int) -> int:
+    """Rows per block for the single-conv chain: one 3x3 conv => 9 unrolled
+    tap temps (vs the multi-scale kernel's 83), so the envelope is looser."""
+    budget = 1_500_000 // ((W + 2) * _hidden_chunk(hidden))
+    best = 0
+    for tr in range(2, H + 1, 2):
+        if H % tr == 0 and tr + 2 <= budget:
+            best = tr
+    return best
+
+
+def dwmlp_fusable(H: int, W: int, d: int, hidden: int, dtype, force=False) -> bool:
+    return (
+        d % 8 == 0 and hidden % 128 == 0
+        and (force or jnp.dtype(dtype).itemsize == 2)
+        and _weight_bytes(d, hidden, dtype) <= _WEIGHT_BUDGET
+        and W % 8 == 0
+        and _row_chunk_dw(H, W, hidden) >= 2
+    )
+
+
+def _dwmlp_kernel(hi, Tr, H, W, Hc, eps, x0_ref, x1_ref, x2_ref, s_ref, b_ref,
+                  w1_ref, b1_ref, k3_ref, c3_ref, w2_ref, b2_ref, out_ref):
+    prec = jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT
+    t = pl.program_id(1)
+    f32 = jnp.float32
+    D = x1_ref.shape[-1]
+    Hd = w1_ref.shape[-1]
+    # (Tr + 2, W, D) extended tile: 1 halo row each side from the neighbours
+    xe = jnp.concatenate(
+        [x0_ref[0, Tr - 1 :], x1_ref[0], x2_ref[0, :1]], axis=0
+    ).astype(f32)
+    y = _ln(xe, s_ref[...].astype(f32), b_ref[...].astype(f32), eps)
+    y = y.reshape((Tr + 2) * W, D).astype(x1_ref.dtype)
+    grow = jax.lax.broadcasted_iota(jnp.int32, ((Tr + 2) * W, 1), 0) // W + t * Tr - 1
+    rmask = (grow >= 0) & (grow < H)
+    out = jnp.zeros((Tr * W, D), f32) + b2_ref[...].astype(f32)
+    for c0 in range(0, Hd, Hc):
+        h = jax.lax.dot_general(
+            y, w1_ref[:, c0 : c0 + Hc], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        ) + b1_ref[0, c0 : c0 + Hc].astype(f32)
+        h = jnp.where(rmask, h, 0.0).reshape(Tr + 2, W, Hc)
+        zc = jnp.zeros((Tr + 2, 1, Hc), f32)
+        hp = jnp.concatenate([zc, h, zc], axis=1)  # (Tr+2, W+2, Hc)
+        acc = c3_ref[0, c0 : c0 + Hc].astype(f32) + jnp.zeros((Tr, W, Hc), f32)
+        for i in range(3):
+            for j in range(3):
+                w = k3_ref[i, j, c0 : c0 + Hc].astype(f32)  # (Hc,)
+                acc = acc + w * hp[i : i + Tr, j : j + W]
+        out = out + jax.lax.dot_general(
+            _gelu_exact(acc).reshape(Tr * W, Hc).astype(x1_ref.dtype),
+            w2_ref[c0 : c0 + Hc, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        )
+    out_ref[0] = out.reshape(Tr, W, D).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def _dwmlp_pallas(x, ln_scale, ln_bias, w1, b1, k3, c3, w2, b2, eps,
+                  interpret=False):
+    B, H, W, D = x.shape
+    Hd = w1.shape[1]
+    Tr = _row_chunk_dw(H, W, Hd)
+    nT = H // Tr
+    cd = x.dtype
+    vec = lambda v: v.astype(jnp.float32)[None, :]
+    par = lambda *s: pl.BlockSpec(s, lambda b, t: (0,) * len(s), memory_space=pltpu.VMEM)
+    xspec = lambda f: pl.BlockSpec((1, Tr, W, D), lambda b, t: (b, f(t), 0, 0),
+                                   memory_space=pltpu.VMEM)
+    return _vcall(
+        functools.partial(_dwmlp_kernel, x.dtype == jnp.float32, Tr, H, W,
+                          _hidden_chunk(Hd), eps),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, D), x.dtype),
+        grid=(B, nT),
+        in_specs=[
+            xspec(lambda t: jnp.maximum(t - 1, 0)),
+            xspec(lambda t: t),
+            xspec(lambda t: jnp.minimum(t + 1, nT - 1)),
+            par(1, D), par(1, D), par(D, Hd), par(1, Hd),
+            par(3, 3, Hd), par(1, Hd), par(Hd, D), par(1, D),
+        ],
+        out_specs=pl.BlockSpec((1, Tr, W, D), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, x, x, vec(ln_scale), vec(ln_bias), w1.astype(cd), vec(b1),
+      k3.reshape(3, 3, Hd).astype(cd), vec(c3), w2.astype(cd), vec(b2))
+
+
+def composed_ln_dwmlp(x, ln_scale, ln_bias, w1, b1, k3, c3, w2, b2, eps=1e-6):
+    """XLA oracle (and VJP path), fp32 internals matching the kernel."""
+    f32 = jnp.float32
+    B, H, W, D = x.shape
+    Hd = w1.shape[1]
+    y = _ln(x.astype(f32), ln_scale.astype(f32), ln_bias.astype(f32), eps)
+    h = (y.astype(x.dtype) @ w1.astype(x.dtype)).astype(f32) + b1.astype(f32)
+    dn = jax.lax.conv_dimension_numbers(h.shape, (3, 3, 1, Hd), ("NHWC", "HWIO", "NHWC"))
+    h = jax.lax.conv_general_dilated(
+        h, k3.astype(f32), (1, 1), "SAME", dimension_numbers=dn,
+        feature_group_count=Hd) + c3.astype(f32)
+    o = (_gelu_exact(h).astype(x.dtype) @ w2.astype(x.dtype)).astype(f32) + b2.astype(f32)
+    return o.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def fused_ln_dwmlp(x, ln_scale, ln_bias, w1, b1, k3, c3, w2, b2, eps):
+    """y = fc2(GELU(dw3(fc1(LN(x))))) — PVTv2's conv-chain FFN in one kernel."""
+    interp = jax.default_backend() != "tpu"
+    return _dwmlp_pallas(x, ln_scale, ln_bias, w1, b1, k3, c3, w2, b2, eps,
+                         interpret=interp)
+
+
+def _dwmlp_fwd(x, ln_scale, ln_bias, w1, b1, k3, c3, w2, b2, eps):
+    return (fused_ln_dwmlp(x, ln_scale, ln_bias, w1, b1, k3, c3, w2, b2, eps),
+            (x, ln_scale, ln_bias, w1, b1, k3, c3, w2, b2))
+
+
+def _dwmlp_bwd(eps, res, g):
+    _, vjp = jax.vjp(lambda *a: composed_ln_dwmlp(*a, eps), *res)
+    return vjp(g)
+
+
+fused_ln_dwmlp.defvjp(_dwmlp_fwd, _dwmlp_bwd)

@@ -103,7 +103,16 @@ def line_tables(H: int, W: int) -> np.ndarray:
     ``flat = x + y * H`` (SpiralLine.py:103) — valid because H == W in all
     live configurations.
     """
-    assert H == W, "line scan tables assume square maps (as the reference does)"
+    if H != W:
+        # The reference defines the Helix orders only on square maps (its
+        # flat-index convention x + y*H is square-only, SpiralLine.py:103),
+        # and the family-coverage proof relies on the square diagonal
+        # structure.  Non-square inputs must use raster/window/dilation
+        # scans (see README "Any square resolution").
+        raise ValueError(
+            f"line (Helix) scan orders are defined on square maps only "
+            f"(got {H}x{W}); use scan_kind='raster'/'window'/'dilation' "
+            f"for non-square feature maps")
     fam0, fam0_flip, fam1, fam1_flip = [], [], [], []
     for start_row in range(0, H, 2):
         pts = _bresenham(0, start_row, H - 1, W - 1 - start_row)

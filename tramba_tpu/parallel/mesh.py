@@ -39,5 +39,21 @@ def shard_batch(batch, mesh: Mesh):
 
 
 def replicate_tree(tree, mesh: Mesh):
+    """Replicate a pytree over every device of ``mesh``.
+
+    Multi-host meshes contain non-addressable devices, where ``device_put``
+    is not allowed — there, each process contributes its (identical) local
+    copy via ``make_array_from_process_local_data``.  Works for typed PRNG
+    key arrays too (via key_data round-trip)."""
     sh = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    if all(d.process_index == jax.process_index() for d in mesh.devices.flat):
+        return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+    def rep(x):
+        if jax.dtypes.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key):
+            data = jax.make_array_from_process_local_data(
+                sh, np.asarray(jax.random.key_data(x)))
+            return jax.random.wrap_key_data(data)
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree.map(rep, tree)

@@ -124,12 +124,24 @@ def evaluate_in_loop(state, eval_step, data_root: str, img_size: int, batch_size
     ds = SODDataset(data_root, list(sets), img_size, mode="test")
     loader = BatchLoader(ds, batch_size=batch_size, shuffle=False)
     metrics = SODMetrics()
-    for batch in loader:
-        n = batch["image"].shape[0]
-        images = jnp.asarray(_pad_batch(batch["image"], batch_size))
-        preds = np.asarray(eval_step(state, images))
-        for i in range(n):
-            metrics.step(preds[i, :, :, 0], batch["gt"][i, :, :, 0])
+    # per-image metric bundles run on a thread pool (numpy/scipy release the
+    # GIL) and OVERLAP the next batch's device forward — the single-threaded
+    # metric loop would otherwise dominate multihost epoch time (VERDICT r2);
+    # mirrors the reference's 24-way offline pool (evaluate_TSOD.py:118-120)
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = int(os.environ.get("TRAMBA_EVAL_WORKERS", "8"))
+    futs = []
+    with ThreadPoolExecutor(workers) as ex:
+        for batch in loader:
+            n = batch["image"].shape[0]
+            images = jnp.asarray(_pad_batch(batch["image"], batch_size))
+            preds = np.asarray(eval_step(state, images))
+            for i in range(n):
+                futs.append(ex.submit(SODMetrics.compute_one,
+                                      preds[i, :, :, 0], batch["gt"][i, :, :, 0]))
+        for f in futs:
+            metrics.append(f.result())
     return metrics.results()
 
 
@@ -174,7 +186,7 @@ def fit(args, model, variables, train_loader, tb_writer=None):
     eval_step = make_eval_step()
     rng = jax.random.key(1026)
     if mesh is not None:
-        rng = jax.device_put(rng, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+        rng = replicate_tree(rng, mesh)  # multihost-safe (non-addressable devices)
 
     best_mae = args.best_MAE
     for epoch in range(start_epoch, args.train_epochs):
@@ -221,10 +233,20 @@ def fit(args, model, variables, train_loader, tb_writer=None):
             if best_mae is None or results["MAE"] < best_mae:
                 ckpt.save_params(ckpt.best_mae_path(save_dir, args.method, results["MAE"], epoch),
                                  {"params": jax.tree.map(np.asarray, eval_state.params)})
-            if (epoch + 1) % 5 == 0 and not multihost:
-                # multihost resume would need a process-coordinated Orbax
-                # save; best-MAE params above already cover recovery
-                ckpt.save_resume(os.path.join(save_dir, f"{args.method}_resume"), state, epoch)
+        if (epoch + 1) % 5 == 0:
+            resume_path = os.path.join(save_dir, f"{args.method}_resume")
+            if multihost:
+                # coordinated: Orbax's save is itself a collective (every
+                # process participates in its internal barriers; the primary
+                # host writes).  Each process feeds its addressable replica
+                # of the fully-replicated state as host numpy.
+                from tramba_tpu.parallel.distributed import local_replica
+
+                ckpt.save_resume(resume_path,
+                                 jax.tree.map(np.asarray, local_replica(state)),
+                                 epoch)
+            else:
+                ckpt.save_resume(resume_path, state, epoch)
     return state
 
 
