@@ -141,6 +141,59 @@ def main():
     ok &= _check("prologue fwd", jax.jit(fused_prologue)(*pargs),
                  jax.jit(composed_prologue)(*pargs), 1e-3)
 
+    # PVTv2 fused kernels: SRA attention + dwconv-chain FFN
+    from tramba_tpu.ops.fused_attn import composed_sra, fused_sra
+    from tramba_tpu.ops.fused_mlp import composed_ln_dwmlp, fused_ln_dwmlp
+
+    rng = np.random.default_rng(4)
+    C, nh, Lk = 128, 2, 16
+    t = lambda *s: jnp.asarray((rng.normal(size=s) * 0.2).astype(np.float32))
+    sargs = (t(2, 64, C), t(C) + 1.0, t(C), t(C, C), t(C), t(2, nh, Lk, C // nh),
+             t(2, nh, Lk, C // nh), t(C, C), t(C))
+    ok &= _check("sra fwd", jax.jit(lambda *a: fused_sra(*a, nh, 1e-6))(*sargs),
+                 jax.jit(lambda *a: composed_sra(*a, nh, 1e-6))(*sargs), 1e-3)
+    gf = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.tanh(fused_sra(*a, nh, 1e-6))),
+                          argnums=(0, 3, 7)))(*sargs)
+    gc = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.tanh(composed_sra(*a, nh, 1e-6))),
+                          argnums=(0, 3, 7)))(*sargs)
+    for n, a, b in zip(("dx", "dwq", "dwp"), gf, gc):
+        ok &= _check(f"sra grad {n}", a, b, 5e-3)
+
+    wargs = (t(2, 16, 16, C), t(C) + 1.0, t(C), t(C, 256), t(256),
+             t(3, 3, 1, 256), t(256), t(256, C), t(C))
+    ok &= _check("ln+dwmlp fwd",
+                 jax.jit(lambda *a: fused_ln_dwmlp(*a, 1e-6))(*wargs),
+                 jax.jit(lambda *a: composed_ln_dwmlp(*a, 1e-6))(*wargs), 1e-3)
+    gf = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.tanh(fused_ln_dwmlp(*a, 1e-6))),
+                          argnums=(0, 3)))(*wargs)
+    gc = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.tanh(composed_ln_dwmlp(*a, 1e-6))),
+                          argnums=(0, 3)))(*wargs)
+    for n, a, b in zip(("dx", "dw1"), gf, gc):
+        ok &= _check(f"ln+dwmlp grad {n}", a, b, 5e-3)
+
+    # whole-map smallmap megakernel (prologue + 4-dir scan + LN/GELU/proj)
+    from tramba_tpu.ops.fused_ss2d_small import composed_ss2d_small, fused_ss2d_small
+
+    rng = np.random.default_rng(5)
+    t = lambda *s: jnp.asarray((rng.normal(size=s) * 0.2).astype(np.float32))
+    dm, Di, R = 64, 128, 4
+    smargs = (t(2, 64, dm), t(dm) + 1.0, t(dm), t(dm, Di), t(3, 3, 1, Di),
+              t(4, R + 2, Di), t(4, Di, R), t(4, Di), t(4, Di, 1) * 0.3, t(4, Di),
+              t(Di) + 1.0, t(Di), t(Di, dm))
+    ok &= _check("smallmap fwd",
+                 jax.jit(lambda *a: fused_ss2d_small(*a, 8, 8))(*smargs),
+                 jax.jit(lambda x, s, b, *rest: composed_ss2d_small(
+                     x, (s, b), *rest, 8, 8))(*smargs),
+                 1e-3)
+
+    # 224px-config stage maps (56 / 28) through the folded raster path
+    for Hs in (56, 28):
+        fargs = _full_inputs(1, 4, Hs, 16, 3, 6)
+        y_f = jax.jit(lambda *a: fused_ss2d_full(*a, "raster", Hs, Hs))(*fargs)
+        y_c = jax.jit(lambda *a: composed_ss2d_full(*a, kind="raster", H=Hs, W=Hs,
+                                                    backend="assoc"))(*fargs)
+        ok &= _check(f"folded raster fwd H={Hs}", y_f, y_c, 1e-3)
+
     print("DEVICE CHECK:", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

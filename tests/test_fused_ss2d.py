@@ -152,3 +152,36 @@ def test_folded_freq_native_grad(kind, param, H):
             composed_ss2d_full_p(*a, kind=kind, H=H, W=H, param=param, backend="assoc")))
 
     _grad_pair(lf, lc, args, 9)
+
+
+def test_train_route_ab_equivalent(monkeypatch):
+    """Both train-forward routings (two-phase paired vs materializing
+    rows/cols+merge) give the same outputs and gradients."""
+    import numpy as np
+
+    import tramba_tpu.ops.fused_ss2d as fs
+
+    rng = np.random.default_rng(11)
+    B, H, D, R = 1, 8, 16, 3
+    L = H * H
+    args = [jnp.asarray(a) for a in (
+        rng.normal(size=(B, L, D)).astype(np.float32) * 0.2,
+        (rng.normal(size=(4, R + 2, D)) * 0.2).astype(np.float32),
+        (rng.normal(size=(4, D, R)) * 0.3).astype(np.float32),
+        (rng.normal(size=(4, D)) * 0.2).astype(np.float32),
+        rng.normal(size=(4, D, 1)).astype(np.float32) * 0.3,
+        rng.normal(size=(4, D)).astype(np.float32),
+        (rng.normal(size=(D,)) * 0.1 + 1).astype(np.float32),
+        (rng.normal(size=(D,)) * 0.1).astype(np.float32),
+        (rng.normal(size=(D, D // 2)) * 0.2).astype(np.float32),
+    )]
+
+    def loss(*a):
+        return jnp.sum(jnp.tanh(fs.fused_ss2d_full(*a, "raster", H, H)))
+
+    monkeypatch.setenv("TRAMBA_TWO_PHASE_TRAIN", "1")
+    g1 = jax.grad(loss, argnums=(0, 1, 4))(*args)
+    monkeypatch.setenv("TRAMBA_TWO_PHASE_TRAIN", "0")
+    g2 = jax.grad(loss, argnums=(0, 1, 4))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

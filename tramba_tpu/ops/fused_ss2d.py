@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tramba_tpu.ops.selective_scan import _vcall, linear_scan
+from tramba_tpu.ops.selective_scan import _scan_masked, _vcall, linear_scan
 
 __all__ = ["fused_ss2d_core", "composed_ss2d_core"]
 
@@ -224,26 +224,8 @@ fused_ss2d_core.defvjp(_fwd, _bwd)
 
 
 def _scan_chunk(a, b, reverse):
-    """In-chunk Hillis-Steele; returns (A_cum, h_partial) for carry combine."""
-    T = a.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
-    s = 1
-    while s < T:
-        if reverse:
-            # circular shift up by s == roll by T - s (roll requires shift >= 0)
-            a_sh = pltpu.roll(a, shift=T - s, axis=0)
-            b_sh = pltpu.roll(b, shift=T - s, axis=0)
-            valid = row < T - s
-        else:
-            a_sh = pltpu.roll(a, shift=s, axis=0)
-            b_sh = pltpu.roll(b, shift=s, axis=0)
-            valid = row >= s
-        a_sh = jnp.where(valid, a_sh, 1.0)
-        b_sh = jnp.where(valid, b_sh, 0.0)
-        b = b + a * b_sh
-        a = a * a_sh
-        s *= 2
-    return a, b
+    """In-chunk scan; returns (A_cum, h_partial) for carry combine."""
+    return _scan_masked(a, b, a.shape[0], reverse)
 
 
 def _dirs_kernel(R, transposed, hi, emit, *refs):
@@ -823,19 +805,7 @@ def _scan_chunk_lines(a, b, Hline):
     """Per-line suffix scan: A_cum[p] = prod_{q>=p in line} a[q]; hp[p] the
     matching suffix recurrence sum.  Lines are contiguous rows of length
     ``Hline`` (chunk length is a multiple of it)."""
-    T = a.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
-    s = 1
-    while s < Hline:
-        a_sh = pltpu.roll(a, shift=T - s, axis=0)  # shift up by s
-        b_sh = pltpu.roll(b, shift=T - s, axis=0)
-        valid = (row % Hline) < Hline - s
-        a_sh = jnp.where(valid, a_sh, 1.0)
-        b_sh = jnp.where(valid, b_sh, 0.0)
-        b = b + a * b_sh
-        a = a * a_sh
-        s *= 2
-    return a, b
+    return _scan_masked(a, b, Hline, reverse=True)
 
 
 def _line_pair_kernel(R, Hline, hi, x_ref, wxe_ref, wxo_ref, wdte_ref, wdto_ref,
@@ -967,6 +937,17 @@ def composed_ss2d_full(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bi
     return _ln_gelu_proj(y, ln_scale, ln_bias, w_out, x_flat.dtype)
 
 
+def _two_phase_train() -> bool:
+    """Train-forward routing A/B: the two-phase paired kernels emit fewer HBM
+    maps but recompute the projections/transcendentals in phase 2 (the
+    kernels are compute-bound, so this measured ~neutral: 181-182 vs 174-182
+    ms/step).  Default on (fewer kernels, less HBM); TRAMBA_TWO_PHASE_TRAIN=0
+    flips to the materializing rows/cols+merge route."""
+    import os
+
+    return os.environ.get("TRAMBA_TWO_PHASE_TRAIN", "1") != "0"
+
+
 def _folded_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out,
                     kind: str, H: int, W: int, train: bool = False):
     B, L, D = x_flat.shape
@@ -984,6 +965,38 @@ def _folded_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias,
     rows_sel = jnp.asarray([0, 2])
     cols_sel = jnp.asarray([1, 3])
     c02 = c13 = c_line = None
+    if train and _two_phase_train() and (kind == "raster" or H == W):
+        # train forward via the SAME two-phase paired kernels: the exclusive
+        # chunk carries from _pair_carries are exactly the fp32 chunk-entry
+        # carries the native backward recomputes from, and the merge tail
+        # emits the pre-LN sum — the per-direction outputs never reach HBM
+        y_line = None
+        if kind == "line":
+            from tramba_tpu.ops.scan_orders import _line_dirs_list, _line_merge_dirs
+
+            dirs = _line_dirs_list(x_flat, H, W)
+            ys_line, c_line = _fused_pallas(
+                jnp.concatenate(dirs, axis=0), wx[4:], wdt[4:], bias[4:], A[4:],
+                Dsf[4:], K=4, R=dt_w.shape[-1], interpret=interp, k_major=True,
+                emit_carries=True,
+            )
+            y_line = _line_merge_dirs(
+                [ys_line[i * B : (i + 1) * B] for i in range(4)], H, W
+            ).astype(x_flat.dtype)
+        s13 = _pair_phase1(ximg, wx[cols_sel], wdt[cols_sel], bias[cols_sel],
+                           A[cols_sel], transposed=True, interpret=interp)
+        c13 = _pair_carries(s13, interpret=interp)
+        y13 = _pair_phase2_cols(ximg, c13, wx[cols_sel], wdt[cols_sel],
+                                bias[cols_sel], A[cols_sel], Dsf[cols_sel],
+                                interpret=interp)
+        s02 = _pair_phase1(ximg, wx[rows_sel], wdt[rows_sel], bias[rows_sel],
+                           A[rows_sel], transposed=False, interpret=interp)
+        c02 = _pair_carries(s02, interpret=interp)
+        out, y_sum = _pair_phase2_rows_merge(
+            ximg, c02, y13, y_line, wx[rows_sel], wdt[rows_sel], bias[rows_sel],
+            A[rows_sel], Dsf[rows_sel], ln_scale, ln_bias, w_out,
+            interpret=interp, emit_ysum=True)
+        return out, (y_sum, c02[..., None, :], c13[..., None, :], c_line)
     y02 = _rows_pallas(ximg, wx[rows_sel], wdt[rows_sel], bias[rows_sel], A[rows_sel],
                        Dsf[rows_sel], interpret=interp, emit_carries=train)
     y13 = _cols_pallas(ximg, wx[cols_sel], wdt[cols_sel], bias[cols_sel], A[cols_sel],
@@ -1206,6 +1219,16 @@ def _folded_freq_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_
     perm, inv, sel_a, sel_b = _freq_perms(kind, H, W, param)
     xp, xpt = perm(x_flat)
     prm = (param or 4) if kind == "dilation" else param
+    if train and not _two_phase_train():
+        ys_a, ca = _seq_rows(xp, wx[sel_a], wdt[sel_a], bias[sel_a], A[sel_a],
+                             Dsf[sel_a], interp, emit_carries=True)
+        ys_b, cb = _seq_rows(xpt, wx[sel_b], wdt[sel_b], bias[sel_b], A[sel_b],
+                             Dsf[sel_b], interp, emit_carries=True)
+        sa = ys_a[:, 0] + ys_a[:, 1]
+        sb = ys_b[:, 0] + ys_b[:, 1]
+        y = inv(sa, sb).astype(f32)
+        out = _ln_gelu_proj(y, ln_scale, ln_bias, w_out, x_flat.dtype)
+        return out, (y, ca, cb)
     if not train:
         # two-phase paired directions: each family's sum in one output map
         sa = _seq_pair(xp, wx[sel_a], wdt[sel_a], bias[sel_a], A[sel_a],
@@ -1218,14 +1241,21 @@ def _folded_freq_forward(x_flat, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_
                                       prm, interpret=interp)
         y = inv(sa, sb).astype(f32)
         return _ln_gelu_proj(y, ln_scale, ln_bias, w_out, x_flat.dtype)
-    ys_a, ca = _seq_rows(xp, wx[sel_a], wdt[sel_a], bias[sel_a], A[sel_a], Dsf[sel_a],
-                         interp, emit_carries=True)
-    ys_b, cb = _seq_rows(xpt, wx[sel_b], wdt[sel_b], bias[sel_b], A[sel_b], Dsf[sel_b],
-                         interp, emit_carries=True)
-    # direction sums + inverse permutation in the model dtype: the gathers are
-    # pure data movement, and fp32 here doubles their HBM traffic
-    sa = ys_a[:, 0] + ys_a[:, 1]
-    sb = ys_b[:, 0] + ys_b[:, 1]
+    # train: the SAME two-phase paired kernels, with the exclusive chunk
+    # carries emitted for the native backward — the per-direction outputs
+    # never reach HBM (the pair kernel emits each family's sum directly)
+    def fam(x_perm, sel):
+        Wc = _seq_width(L, D)
+        view = x_perm.reshape(B, L // Wc, Wc, D)
+        s = _pair_phase1(view, wx[sel], wdt[sel], bias[sel], A[sel],
+                         transposed=False, interpret=interp)
+        c = _pair_carries(s, interpret=interp)
+        ysum = _pair_phase2_rows_plain(view, c, wx[sel], wdt[sel], bias[sel],
+                                       A[sel], Dsf[sel], interpret=interp)
+        return ysum.reshape(B, L, D), c[..., None, :]
+
+    sa, ca = fam(xp, sel_a)
+    sb, cb = fam(xpt, sel_b)
     y = inv(sa, sb).astype(f32)
     out = _ln_gelu_proj(y, ln_scale, ln_bias, w_out, x_flat.dtype)
     return out, (y, ca, cb)
@@ -1331,19 +1361,25 @@ def _pair_carries(summ, interpret=False):
     )(summ)
 
 
-def _pair_phase2_kernel(R, transposed, hi, emit_merge, has_line, x_ref, c_ref,
-                        wx_ref, wdt_ref, bias_ref, A_ref, Ds_ref, *rest):
+def _pair_phase2_kernel(R, transposed, hi, emit_merge, has_line, emit_ysum,
+                        x_ref, c_ref, wx_ref, wdt_ref, bias_ref, A_ref, Ds_ref,
+                        *rest):
     """Both directions of a family with precomputed carries, emitted SUMMED.
     ``emit_merge``: also read the other family's summed map (+ optional line
-    map) and finish with LN + GELU + out projection."""
+    map) and finish with LN + GELU + out projection.  ``emit_ysum``: also
+    write the pre-LN direction sum (the LN-adjoint residual for training)."""
     prec = jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT
     f32 = jnp.float32
+    ysum_ref = None
     if emit_merge:
         if has_line:
-            yob_ref, yline_ref, s_ref, b_ref, wout_ref, out_ref = rest
+            yob_ref, yline_ref, s_ref, b_ref, wout_ref, *outs = rest
         else:
-            yob_ref, s_ref, b_ref, wout_ref, out_ref = rest
+            yob_ref, s_ref, b_ref, wout_ref, *outs = rest
             yline_ref = None
+        out_ref = outs[0]
+        if emit_ysum:
+            ysum_ref = outs[1]
     else:
         (out_ref,) = rest
     blk = x_ref[0]
@@ -1372,6 +1408,8 @@ def _pair_phase2_kernel(R, transposed, hi, emit_merge, has_line, x_ref, c_ref,
     y = y + yob
     if yline_ref is not None:
         y = y + yline_ref[0].astype(f32)
+    if ysum_ref is not None:
+        ysum_ref[0] = y.astype(ysum_ref.dtype)  # pre-LN sum for the bwd
     mean = jnp.mean(y, axis=-1, keepdims=True)
     var = jnp.mean((y - mean) ** 2, axis=-1, keepdims=True)
     y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
@@ -1425,7 +1463,7 @@ def _pair_phase2_cols(ximg, carries, wx2, wdt2, bias2, A2, Ds2, interpret=False)
     C = wx2.shape[1]
     return _vcall(
         functools.partial(_pair_phase2_kernel, R, True, ximg.dtype == jnp.float32,
-                          False, False),
+                          False, False, False),
         out_shape=jax.ShapeDtypeStruct((B, nT, H, Tc, D), ximg.dtype),
         grid=(B, nT),
         in_specs=[
@@ -1443,10 +1481,12 @@ def _pair_phase2_cols(ximg, carries, wx2, wdt2, bias2, A2, Ds2, interpret=False)
       Ds2[:, None, :])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "emit_ysum"))
 def _pair_phase2_rows_merge(ximg, carries, y13sum, y_line, wx2, wdt2, bias2, A2, Ds2,
-                            ln_scale, ln_bias, w_out, interpret=False):
-    """Rows family (dir0 + dir2) + full merge tail -> (B, L, d_model)."""
+                            ln_scale, ln_bias, w_out, interpret=False,
+                            emit_ysum=False):
+    """Rows family (dir0 + dir2) + full merge tail -> (B, L, d_model).
+    ``emit_ysum``: also emit the pre-LN direction sum (train forward)."""
     B, H, W, D = ximg.shape
     Tr = _row_chunk(H, W, D)
     nT = H // Tr
@@ -1473,16 +1513,23 @@ def _pair_phase2_rows_merge(ximg, carries, y13sum, y_line, wx2, wdt2, bias2, A2,
     in_specs += [_pair_par(1, D), _pair_par(1, D), _pair_par(D, dm)]
     args += [ln_scale.astype(jnp.float32)[None], ln_bias.astype(jnp.float32)[None],
              w_out.astype(ximg.dtype)]
-    return _vcall(
+    out_shape = [jax.ShapeDtypeStruct((B, H * W, dm), ximg.dtype)]
+    out_specs = [pl.BlockSpec((1, Tr * W, dm), lambda b, t: (b, t, 0),
+                              memory_space=pltpu.VMEM)]
+    if emit_ysum:
+        out_shape.append(jax.ShapeDtypeStruct((B, H * W, D), ximg.dtype))
+        out_specs.append(pl.BlockSpec((1, Tr * W, D), lambda b, t: (b, t, 0),
+                                      memory_space=pltpu.VMEM))
+    res = _vcall(
         functools.partial(_pair_phase2_kernel, R, False, ximg.dtype == jnp.float32,
-                          True, has_line),
-        out_shape=jax.ShapeDtypeStruct((B, H * W, dm), ximg.dtype),
+                          True, has_line, emit_ysum),
+        out_shape=out_shape,
         grid=(B, nT),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, Tr * W, dm), lambda b, t: (b, t, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         interpret=interpret,
     )(*args)
+    return tuple(res) if emit_ysum else res[0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -1495,7 +1542,7 @@ def _pair_phase2_rows_plain(ximg, carries, wx2, wdt2, bias2, A2, Ds2, interpret=
     C = wx2.shape[1]
     return _vcall(
         functools.partial(_pair_phase2_kernel, R, False, ximg.dtype == jnp.float32,
-                          False, False),
+                          False, False, False),
         out_shape=jax.ShapeDtypeStruct((B, nT, Tr, W, D), ximg.dtype),
         grid=(B, nT),
         in_specs=[

@@ -39,7 +39,10 @@ def smallmap_ok(H: int, W: int, d_model: int, d_inner: int, dtype) -> bool:
     return (
         L % 8 == 0
         and bpe == 2
-        and L * d_inner * bpe * 2 <= 2_500_000
+        # covers the 384px coarse stages (24/12px) AND the 224px SOD-config
+        # stage-3 map (28px, d_inner 1024 = 3.2 MB) under the 64 MB
+        # per-kernel scoped-vmem budget (_vcall)
+        and L * d_inner * bpe * 2 <= 3_300_000
         and d_inner % 128 == 0
         and (d_model * d_inner + d_inner * d_model) * bpe <= 9 * 1024 * 1024
     )
@@ -50,25 +53,11 @@ def _d_chunk(D: int) -> int:
 
 
 def _scan_full(a, b, reverse):
-    """Full-length Hillis-Steele over axis 0 (no carry — whole sequence)."""
-    T = a.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
-    s = 1
-    while s < T:
-        if reverse:
-            a_sh = pltpu.roll(a, shift=T - s, axis=0)
-            b_sh = pltpu.roll(b, shift=T - s, axis=0)
-            valid = row < T - s
-        else:
-            a_sh = pltpu.roll(a, shift=s, axis=0)
-            b_sh = pltpu.roll(b, shift=s, axis=0)
-            valid = row >= s
-        a_sh = jnp.where(valid, a_sh, 1.0)
-        b_sh = jnp.where(valid, b_sh, 0.0)
-        b = b + a * b_sh
-        a = a * a_sh
-        s *= 2
-    return b
+    """Full-length scan over axis 0 (no carry — whole sequence)."""
+    from tramba_tpu.ops.selective_scan import _scan_masked
+
+    _, hp = _scan_masked(a, b, a.shape[0], reverse)
+    return hp
 
 
 def _small_kernel(R, H, W, has_pro, has_ln, hi, *refs):

@@ -63,6 +63,38 @@ def _linear_scan_assoc(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return h
 
 
+def _scan_masked(a, b, seg, reverse):
+    """Per-``seg``-segment masked Hillis-Steele over axis 0 (prefix scan
+    within each segment; suffix when ``reverse``).  seg == T is the plain
+    whole-chunk scan.
+
+    Round-3 negative result: a two-level variant (log2(8) full-width passes
+    + a carrier scan on the (T/8, D) summaries + broadcast combine) is
+    arithmetically ~half the passes but measured 19-24% SLOWER on hardware
+    at every live shape — Mosaic's sublane reshape/slice/broadcast
+    relayouts for the carriers cost more than the saved passes.  This
+    plain masked scan IS the fast spelling."""
+    T = a.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    s = 1
+    while s < seg:
+        if reverse:
+            # circular shift up by s == roll by T - s (roll requires shift >= 0)
+            a_sh = pltpu.roll(a, shift=T - s, axis=0)
+            b_sh = pltpu.roll(b, shift=T - s, axis=0)
+            valid = (row % seg) < seg - s
+        else:
+            a_sh = pltpu.roll(a, shift=s, axis=0)
+            b_sh = pltpu.roll(b, shift=s, axis=0)
+            valid = (row % seg) >= s
+        a_sh = jnp.where(valid, a_sh, 1.0)
+        b_sh = jnp.where(valid, b_sh, 0.0)
+        b = b + a * b_sh
+        a = a * a_sh
+        s *= 2
+    return a, b
+
+
 def _scan_chunk_kernel(a_ref, b_ref, h_ref, carry):
     """One (rows=T sequence, lanes=C channels) chunk of the recurrence."""
     t = pl.program_id(2)
@@ -74,18 +106,7 @@ def _scan_chunk_kernel(a_ref, b_ref, h_ref, carry):
     a = a_ref[0].astype(jnp.float32)  # (T, C)
     b = b_ref[0].astype(jnp.float32)
     T = a.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
-    s = 1
-    # Hillis-Steele inclusive scan along sublanes: log2(T) VPU steps in VMEM.
-    while s < T:
-        a_sh = pltpu.roll(a, shift=s, axis=0)
-        b_sh = pltpu.roll(b, shift=s, axis=0)
-        valid = row >= s
-        a_sh = jnp.where(valid, a_sh, 1.0)
-        b_sh = jnp.where(valid, b_sh, 0.0)
-        b = b + a * b_sh
-        a = a * a_sh
-        s *= 2
+    a, b = _scan_masked(a, b, T, reverse=False)
     h = a * carry[...] + b
     carry[...] = h[T - 1 :, :]
     h_ref[0] = h.astype(h_ref.dtype)
