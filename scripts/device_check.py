@@ -186,6 +186,63 @@ def main():
                      x, (s, b), *rest, 8, 8))(*smargs),
                  1e-3)
 
+    # native FFN backward kernels (bf16 live shapes; relative tolerance —
+    # the composed oracle itself runs bf16 matmuls in its recompute)
+    def _rcheck(name, got, want, rtol):
+        okk = True
+        for i, (a, b) in enumerate(zip(got, want)):
+            a = np.asarray(a, dtype=np.float32).reshape(np.asarray(b).shape)
+            b = np.asarray(b, dtype=np.float32)
+            err = float(np.max(np.abs(a - b))) / (float(np.max(np.abs(b))) + 1e-8)
+            status = "PASS" if err <= rtol else "FAIL"
+            print(f"  {status} {name}[{i}]: max rel err {err:.2e} (tol {rtol:g})")
+            okk &= err <= rtol
+        return okk
+
+    from tramba_tpu.ops.fused_mlp import _dwms_bwd_pallas, _mlp_bwd_pallas
+
+    rng = np.random.default_rng(7)
+    t = lambda *s: jnp.asarray((rng.normal(size=s) * 0.2).astype(np.float32))
+    for L, D, Hd in ((576, 512, 2048), (2304, 256, 1024)):
+        bargs = [t(2, L, D).astype(jnp.bfloat16), t(D) + 1.0, t(D), t(D, Hd),
+                 t(Hd), t(Hd, D), t(D)]
+        gb = t(2, L, D).astype(jnp.bfloat16)
+        _, vjp = jax.vjp(composed_ln_mlp, *bargs)
+        got = jax.jit(_mlp_bwd_pallas)(bargs[0], gb, *bargs[1:6])
+        ok &= _rcheck(f"mlp bwd D={D}", got,
+                      [vjp(gb)[i] for i in (0, 1, 2, 3, 4, 5, 6)], 3e-2)
+
+    for Hs, D, Hd in ((96, 128, 512), (48, 256, 1024)):
+        bargs = [t(1, Hs, Hs, D).astype(jnp.bfloat16), t(D) + 1.0, t(D),
+                 t(D, Hd), t(Hd)]
+        for k in (3, 5, 7):
+            bargs += [t(k, k, 1, Hd), t(Hd)]
+        bargs += [t(Hd, D), t(D)]
+        gb = t(1, Hs, Hs, D).astype(jnp.bfloat16)
+        _, vjp = jax.vjp(composed_ln_dwmsmlp, *bargs)
+        ref = vjp(gb)
+        got = jax.jit(_dwms_bwd_pallas)(bargs[0], gb, *bargs[1:12])
+        ok &= _rcheck(f"dwms bwd H={Hs}", got, ref[:12] + (ref[12],), 3e-2)
+
+    # fused final head (expand + per-slot LN + 1-channel conv, live shape)
+    from tramba_tpu.ops.fused_expand import composed_final_head, fused_final_head
+
+    rng = np.random.default_rng(8)
+    t = lambda *s: jnp.asarray((rng.normal(size=s) * 0.2).astype(np.float32))
+    for Hh, Ch in ((96, 128), (56, 128)):
+        hargs = (t(2, Hh, Hh, Ch).astype(jnp.bfloat16), t(Ch, 16 * Ch),
+                 t(Ch) + 1.0, t(Ch), t(Ch), t(1))
+        got = np.asarray(jax.jit(fused_final_head)(*hargs), dtype=np.float32)
+        want = np.asarray(jax.jit(composed_final_head)(*hargs), dtype=np.float32)
+        # logits are O(20); bf16 output quantization alone is 0.0625 abs.
+        # The oracle quantizes the expanded hidden to bf16 where the kernel
+        # keeps fp32 (kernel is the *more* accurate side), so allow a few
+        # bf16 ulps relative to the output scale.
+        err = float(np.max(np.abs(got - want))) / float(np.max(np.abs(want)))
+        status = "PASS" if err <= 1.5e-2 else "FAIL"
+        print(f"  {status} final head H={Hh}: max rel err {err:.2e} (tol 0.015)")
+        ok &= err <= 1.5e-2
+
     # 224px-config stage maps (56 / 28) through the folded raster path
     for Hs in (56, 28):
         fargs = _full_inputs(1, 4, Hs, 16, 3, 6)

@@ -18,7 +18,7 @@ import numpy as np
 from tramba_tpu.utils.cache import enable_compilation_cache
 from tramba_tpu.utils.jit import tramba_jit
 
-_STACK = 8
+_STACK = 4
 
 
 def _sync(x):
@@ -95,19 +95,29 @@ def main():
         (96, 128, "plain", 1, "guide96 FFN"),
     ):
         x = t(B, H, H, dim)
-        f, p = _stacked_apply(_FFNOnly(dim, kind), x)
-        d = _time(f, p, x)
+        try:
+            f, p = _stacked_apply(_FFNOnly(dim, kind), x)
+            d = _time(f, p, x)
+        except Exception as e:
+            print(f"{label}: FAILED {type(e).__name__}: {str(e)[:100]}", flush=True)
+            continue
         rows.append((label, d, n))
 
     # upsamplers
     for Hin, cin, label in ((12, 1024, "expand 12->24"), (24, 512, "expand 24->48"),
                             (48, 256, "expand 48->96")):
         x = t(B, Hin, Hin, cin)
-        f, p = _stacked_apply(PatchExpand(dtype=dt), x)
-        rows.append((label, _time(f, p, x), 1))
+        try:
+            f, p = _stacked_apply(PatchExpand(dtype=dt), x)
+            rows.append((label, _time(f, p, x), 1))
+        except Exception as e:
+            print(f"{label}: FAILED {type(e).__name__}: {str(e)[:100]}", flush=True)
     x = t(B, 96, 96, 128)
-    f, p = _stacked_apply(FinalPatchExpandX4(dtype=dt), x, pre_shuffle=True)
-    rows.append(("final expand x4 (pre-shuffle)", _time(f, p, x), 1))
+    try:
+        f, p = _stacked_apply(FinalPatchExpandX4(dtype=dt), x, pre_shuffle=True)
+        rows.append(("final expand x4 (pre-shuffle)", _time(f, p, x), 1))
+    except Exception as e:
+        print(f"final expand x4: FAILED {type(e).__name__}: {str(e)[:100]}", flush=True)
 
     # DCT quadrants + the two FreqExpands + gate (the FreqSS2D non-SS2D part)
     for H, dim, label in ((24, 512, "dct+expand 24"), (48, 256, "dct+expand 48"),
@@ -122,12 +132,15 @@ def main():
                         + FreqExpand2D(dtype=dt, name="l")(lo))
 
         x = t(B, H, H, dim)
-        f, p = _stacked_apply(_DctExpand(), x)
-        rows.append((label, _time(f, p, x), 1))
+        try:
+            f, p = _stacked_apply(_DctExpand(), x)
+            rows.append((label, _time(f, p, x), 1))
+        except Exception as e:
+            print(f"{label}: FAILED {type(e).__name__}: {str(e)[:100]}", flush=True)
 
     total = 0.0
     for label, d, n in rows:
-        print(f"{label:<28} {d * 1e3:7.3f} ms  x{n} = {d * n * 1e3:6.2f} ms")
+        print(f"{label:<28} {d * 1e3:7.3f} ms  x{n} = {d * n * 1e3:6.2f} ms", flush=True)
         total += d * n
     print(f"sum of measured residual components: {total * 1e3:.1f} ms")
 

@@ -131,3 +131,76 @@ def test_block_fused_path_matches_composed():
         y_c = m_c.apply(params, x)
         np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c),
                                    rtol=5e-4, atol=5e-4, err_msg=cls.__name__)
+
+
+def test_dwms_native_bwd_matches_composed():
+    """The native adjoint kernel (halo recompute, in-VMEM weight grads)
+    against the composed VJP — exercised via the force path (H % 6 == 0)."""
+    import numpy as np
+
+    from tramba_tpu.ops.fused_mlp import composed_ln_dwmsmlp, fused_ln_dwmsmlp
+
+    rng = np.random.default_rng(9)
+    B, H, W, D, Hd = 2, 12, 8, 16, 128
+    t = lambda *s: jnp.asarray((rng.normal(size=s) * 0.2).astype(np.float32))
+    args = [t(B, H, W, D), t(D) + 1.0, t(D), t(D, Hd), t(Hd)]
+    for k in (3, 5, 7):
+        args += [t(k, k, 1, Hd), t(Hd)]
+    args += [t(Hd, D), t(D)]
+
+    g_f = jax.grad(lambda *a: jnp.sum(jnp.tanh(fused_ln_dwmsmlp(*a))),
+                   argnums=tuple(range(13)))(*args)
+    g_c = jax.grad(lambda *a: jnp.sum(jnp.tanh(composed_ln_dwmsmlp(*a))),
+                   argnums=tuple(range(13)))(*args)
+    for i, (a, b) in enumerate(zip(g_f, g_c)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   err_msg=f"grad {i}")
+
+
+def test_dwms_native_bwd_halo_blocks():
+    """Multi-row-block, multi-hidden-chunk run (Tr=6 over H=12 -> 2 blocks,
+    Hd=256 -> 2 chunks): the 6-row halo recompute, the boundary clamp masks
+    and the chunk-revisited weight-grad accumulators must match the
+    composed VJP."""
+    import numpy as np
+
+    from tramba_tpu.ops.fused_mlp import _dwms_bwd_pallas, composed_ln_dwmsmlp
+
+    rng = np.random.default_rng(11)
+    B, H, W, D, Hd = 2, 12, 8, 16, 256
+    t = lambda *s: jnp.asarray((rng.normal(size=s) * 0.2).astype(np.float32))
+    args = [t(B, H, W, D), t(D) + 1.0, t(D), t(D, Hd), t(Hd)]
+    for k in (3, 5, 7):
+        args += [t(k, k, 1, Hd), t(Hd)]
+    args += [t(Hd, D), t(D)]
+    g = t(B, H, W, D)
+
+    _, vjp = jax.vjp(composed_ln_dwmsmlp, *args)
+    ref = vjp(g)
+    got = _dwms_bwd_pallas(args[0], g, *args[1:12], interpret=True, row_chunk=6)
+    # kernel returns (dx, ds, dbn, dw1, db1, dk3, dc3, dk5, dc5, dk7, dc7,
+    # dw2, db2); composed vjp order: (dx, ds, dbn, dw1, db1, k3, c3, ...)
+    for i, (a, b) in enumerate(zip(got, ref[:12] + (ref[12],))):
+        np.testing.assert_allclose(
+            np.asarray(a).reshape(np.asarray(b).shape), np.asarray(b),
+            atol=2e-4, err_msg=f"grad {i}")
+
+
+def test_dwms_grid_chunked_fwd_matches_composed():
+    """The grid-chunked forward (_dwms_pallas2: hidden chunks on grid axis 2,
+    fp32 scratch accumulator, resident x blocks) vs the composed oracle —
+    multi-row-block AND multi-chunk."""
+    import numpy as np
+
+    from tramba_tpu.ops.fused_mlp import _dwms_pallas2, composed_ln_dwmsmlp
+
+    rng = np.random.default_rng(13)
+    B, H, W, D, Hd = 2, 12, 8, 16, 256
+    t = lambda *s: jnp.asarray((rng.normal(size=s) * 0.2).astype(np.float32))
+    args = [t(B, H, W, D), t(D) + 1.0, t(D), t(D, Hd), t(Hd)]
+    for k in (3, 5, 7):
+        args += [t(k, k, 1, Hd), t(Hd)]
+    args += [t(Hd, D), t(D)]
+    got = _dwms_pallas2(*args, interpret=True, row_chunk=6, hidden_chunk=128)
+    want = composed_ln_dwmsmlp(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

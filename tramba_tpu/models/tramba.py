@@ -36,6 +36,32 @@ class _ConcatDense(nn.Module):
         return (self.param("kernel", trunc_normal_init, (self.fin, self.fout)),
                 self.param("bias", nn.initializers.zeros, (self.fout,)))
 
+
+class _FinalHeadP(nn.Module):
+    """FinalPatchExpandX4 params (expand kernel + LN), checkpoint-tree
+    identical to the composed module."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        from tramba_tpu.nn.layers import _KernelP, _NormP
+
+        k = _KernelP(self.dim, 16 * self.dim, name="expand")()
+        s, b = _NormP(self.dim, name="norm")()
+        return k, s, b
+
+
+class _SegHeadP(nn.Module):
+    """1x1 seg-conv params matching nn.Conv's checkpoint layout."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", conv_kaiming_init, (1, 1, self.dim, 1)),
+                self.param("bias", nn.initializers.zeros, (1,)))
+
 # high-frequency window size per resolution (csms6s.py:107-111)
 _WINDOW_BY_RES = {12: 4, 24: 8, 48: 12, 96: 16}
 
@@ -114,10 +140,22 @@ class TrambaDecoder(nn.Module):
                 # final stage: run LN + the 1-channel head on the coarse grid
                 # (exactly equivalent; avoids shuffling the 16x-wide tensor)
                 Bx, h, w, dim = x.shape
-                x5 = FinalPatchExpandX4(dtype=self.dtype, name=f"expand_{s}")(x, pre_shuffle=True)
-                seg5 = nn.Conv(1, (1, 1), kernel_init=conv_kaiming_init, dtype=self.dtype,
-                               name=f"seg_{s}")(x5.reshape(Bx, h, w * 16, dim))
-                seg5 = seg5.reshape(Bx, h, w, 4, 4, 1).transpose(0, 1, 3, 2, 4, 5)
+                from tramba_tpu.nn.blocks import _kernel_ok
+                from tramba_tpu.ops.fused_expand import final_head_fusable, fused_final_head
+
+                if _kernel_ok(self.ssm_backend) and final_head_fusable(h, w, dim):
+                    # fully fused: the 16x-wide expand never reaches HBM
+                    ke, lns, lnb = _FinalHeadP(dim, name=f"expand_{s}")()
+                    kc, bc = _SegHeadP(dim, name=f"seg_{s}")()
+                    seg16 = fused_final_head(x, ke, lns, lnb,
+                                             kc.reshape(dim), bc)
+                    seg5 = seg16.reshape(Bx, h, w, 4, 4, 1)
+                else:
+                    x5 = FinalPatchExpandX4(dtype=self.dtype, name=f"expand_{s}")(x, pre_shuffle=True)
+                    seg5 = nn.Conv(1, (1, 1), kernel_init=conv_kaiming_init, dtype=self.dtype,
+                                   name=f"seg_{s}")(x5.reshape(Bx, h, w * 16, dim))
+                    seg5 = seg5.reshape(Bx, h, w, 4, 4, 1)
+                seg5 = seg5.transpose(0, 1, 3, 2, 4, 5)
                 seg_outputs.append(seg5.reshape(Bx, 4 * h, 4 * w, 1))
                 continue
             if self.deep_supervision or s == n_stages - 1:

@@ -19,7 +19,8 @@ from jax.experimental.pallas import tpu as pltpu
 from tramba_tpu.ops.fused_mlp import _ln
 from tramba_tpu.ops.fused_ss2d import _vcall
 
-__all__ = ["fused_expand2", "composed_expand2", "expand2_fusable"]
+__all__ = ["fused_expand2", "composed_expand2", "expand2_fusable",
+           "fused_final_head", "composed_final_head", "final_head_fusable"]
 
 
 def expand2_fusable(H: int, W: int, C: int, factor: int) -> bool:
@@ -107,3 +108,116 @@ def _exp_bwd(res, g):
 
 
 fused_expand2.defvjp(_exp_fwd, _exp_bwd)
+
+
+# --- fused final head: Dense(C->16C) + per-slot LN + 1-channel conv --------
+#
+# The reference ends with FinalPatchExpand_X4 + a 1x1 seg conv
+# (modules.py:224-274, Trambav6.py decoder tail).  Composed, the expand
+# materializes a 16x-wide tensor in HBM (604 MB at b16/384px) that the LN
+# and the 1-channel head immediately reduce away — measured 25.6 ms of the
+# ~150 ms forward (scripts/residual_bench.py).  Fused, the expanded hidden
+# lives only in VMEM; because the head is LINEAR in the LN output, the
+# per-slot LN + head dot collapse into three skinny matmuls against
+# block-diagonal selectors:
+#
+#   seg_s = r_s * (h_s . u  -  m_s * sum(u)) + (b . w_h + b_h)
+#
+# with u = ln_scale * w_h, m_s/r_s the slot mean/rsqrt-var — so the kernel
+# emits only (B, H, W, 16) (4.7 MB), a ~128x traffic reduction.
+
+
+def final_head_fusable(H: int, W: int, C: int) -> bool:
+    return W % 8 == 0 and C % 128 == 0 and _head_rows(H, W, 16 * C) >= 1
+
+
+def _head_rows(H: int, W: int, EC: int) -> int:
+    """Rows per block: the fp32 (Tr*W, EC) hidden tile (+ its square) must
+    fit the scoped-vmem budget; ~6 MB each keeps us well under 32 MB."""
+    budget = 6 * 1024 * 1024 // (4 * W * EC)
+    best = 0
+    for tr in range(1, H + 1):
+        if H % tr == 0 and tr <= budget:
+            best = tr
+    return best
+
+
+def _head_kernel(hi, Tr, W, x_ref, w1_ref, u_ref, o_ref, sc_ref, out_ref):
+    prec = jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT
+    f32 = jnp.float32
+    C = x_ref.shape[-1]
+    h = jax.lax.dot_general(
+        x_ref[0].reshape(Tr * W, C), w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=prec,
+    )  # (Tr*W, 16C) — never leaves VMEM
+    P = jax.lax.dot_general(h, u_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32, precision=prec)
+    M = jax.lax.dot_general(h, o_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32, precision=prec) / C
+    S2 = jax.lax.dot_general(h * h, o_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=f32, precision=prec) / C
+    r = jax.lax.rsqrt(S2 - M * M + 1e-5)
+    seg = r * (P - M * sc_ref[0, 0]) + sc_ref[0, 1]
+    out_ref[0] = seg.reshape(Tr, W, 16).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _final_head_pallas(x, w1, ln_scale, ln_bias, wh, bh, interpret=False):
+    B, H, W, C = x.shape
+    EC = w1.shape[-1]
+    Tr = _head_rows(H, W, EC)
+    nT = H // Tr
+    cd = x.dtype
+    f32 = jnp.float32
+    u = ln_scale.astype(f32) * wh.astype(f32)  # (C,)
+    eye = jnp.eye(16, dtype=f32)
+    # column k = s*C + c of the expand matmul belongs to slot s, channel c
+    U = (eye[:, None, :] * u[None, :, None]).reshape(EC, 16)
+    O = jnp.repeat(eye, C, axis=0)
+    sc = jnp.stack([jnp.sum(u),
+                    jnp.sum(ln_bias.astype(f32) * wh.astype(f32))
+                    + jnp.sum(bh.astype(f32))]).reshape(1, 2)
+    par = lambda *s: pl.BlockSpec(s, lambda b, t: (0,) * len(s),
+                                  memory_space=pltpu.VMEM)
+    return _vcall(
+        functools.partial(_head_kernel, cd == jnp.float32, Tr, W),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, 16), cd),
+        grid=(B, nT),
+        in_specs=[
+            pl.BlockSpec((1, Tr, W, C), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            par(C, EC), par(EC, 16), par(EC, 16), par(1, 2),
+        ],
+        out_specs=pl.BlockSpec((1, Tr, W, 16), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, w1.astype(cd), U, O, sc)
+
+
+def composed_final_head(x, w1, ln_scale, ln_bias, wh, bh):
+    """XLA oracle (and VJP path): fp32 LN matching the kernel."""
+    B, H, W, C = x.shape
+    h = (x @ w1.astype(x.dtype)).reshape(B, H, W, 16, C)
+    y = _ln(h.astype(jnp.float32), ln_scale.astype(jnp.float32),
+            ln_bias.astype(jnp.float32))
+    seg = y @ wh.astype(jnp.float32) + jnp.sum(bh.astype(jnp.float32))
+    return seg.astype(x.dtype)
+
+
+@jax.custom_vjp
+def fused_final_head(x, w1, ln_scale, ln_bias, wh, bh):
+    """seg(B,H,W,16) = head(LN(reshape(x @ w1))) without the 16x HBM tensor."""
+    interp = jax.default_backend() != "tpu"
+    return _final_head_pallas(x, w1, ln_scale, ln_bias, wh, bh, interpret=interp)
+
+
+def _head_fwd(*args):
+    return fused_final_head(*args), args
+
+
+def _head_bwd(res, g):
+    _, vjp = jax.vjp(composed_final_head, *res)
+    return vjp(g)
+
+
+fused_final_head.defvjp(_head_fwd, _head_bwd)
