@@ -19,6 +19,7 @@ emits — the TPU answer to the reference's fused CUDA backward
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -85,17 +86,7 @@ def _fused_kernel(R, hi, emit, *refs):
     a = jnp.exp(delta * A_ref[0].astype(jnp.float32))
     b = delta * x * dbc[:, R : R + 1]
 
-    row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
-    s = 1
-    while s < T:
-        a_sh = pltpu.roll(a, shift=s, axis=0)
-        b_sh = pltpu.roll(b, shift=s, axis=0)
-        valid = row >= s
-        a_sh = jnp.where(valid, a_sh, 1.0)
-        b_sh = jnp.where(valid, b_sh, 0.0)
-        b = b + a * b_sh
-        a = a * a_sh
-        s *= 2
+    a, b = _scan_masked(a, b, T, reverse=False)
     h = a * carry[...] + b
     carry[...] = h[T - 1 :, :]
     y = h * dbc[:, R + 1 : R + 2] + x * Ds_ref[0].astype(jnp.float32)
@@ -224,7 +215,8 @@ fused_ss2d_core.defvjp(_fwd, _bwd)
 
 
 def _scan_chunk(a, b, reverse):
-    """In-chunk scan; returns (A_cum, h_partial) for carry combine."""
+    """In-chunk scan; returns (A_cum, h_partial) for carry combine.  Every
+    caller tiles with exact divisors (no ragged padding)."""
     return _scan_masked(a, b, a.shape[0], reverse)
 
 
@@ -283,8 +275,13 @@ def _dirs_kernel(R, transposed, hi, emit, *refs):
 
 
 def _seq_target(D):
-    """Chunk length budget: keep T*D fp32 working set well inside VMEM."""
-    return max(64, min(256, 65536 // max(D, 1)))
+    """Chunk length budget: keep T*D fp32 working set well inside VMEM.
+
+    The budget also sets the Hillis-Steele pass count (log2 of the chunk
+    length) — shorter chunks do fewer masked-roll passes per element but more
+    grid steps.  TRAMBA_SEQ_BUDGET overrides for on-device A/B probes."""
+    budget = int(os.environ.get("TRAMBA_SEQ_BUDGET", "65536"))
+    return max(64, min(256, budget // max(D, 1)))
 
 
 def _row_chunk(H, W, D=256):
@@ -943,8 +940,6 @@ def _two_phase_train() -> bool:
     kernels are compute-bound, so this measured ~neutral: 181-182 vs 174-182
     ms/step).  Default on (fewer kernels, less HBM); TRAMBA_TWO_PHASE_TRAIN=0
     flips to the materializing rows/cols+merge route."""
-    import os
-
     return os.environ.get("TRAMBA_TWO_PHASE_TRAIN", "1") != "0"
 
 

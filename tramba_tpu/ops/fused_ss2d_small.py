@@ -18,6 +18,7 @@ Reference hot path being replaced: Models/vmamba.py:114-273.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,8 @@ __all__ = ["fused_ss2d_small", "smallmap_ok"]
 
 def smallmap_ok(H: int, W: int, d_model: int, d_inner: int, dtype) -> bool:
     """Whole-map kernel eligibility: map + weights resident in VMEM."""
+    if os.environ.get("TRAMBA_NO_SMALLMAP", "0") == "1":  # routing A/B probe
+        return False
     bpe = jnp.dtype(dtype).itemsize
     L = H * W
     # the kernel keeps ~4 map-sized buffers in the model dtype plus chunked
@@ -125,7 +128,8 @@ def _small_kernel(R, H, W, has_pro, has_ln, hi, *refs):
     ln_sq = jnp.zeros((L, 1), f32)
     chunks = []
     for c0 in range(0, D, Dc):
-        yc = jnp.zeros((L, Dc), f32)
+        yc = jnp.zeros((L, Dc), f32)   # pixel-order directions (0, 2)
+        ycT = jnp.zeros((L, Dc), f32)  # w-major directions (1, 3)
         for k, seq, rev in ((0, x, False), (1, xT, False), (2, x, True), (3, xT, True)):
             sc = seq[:, c0 : c0 + Dc].astype(f32)
             dt = jax.lax.dot_general(
@@ -136,9 +140,11 @@ def _small_kernel(R, H, W, has_pro, has_ln, hi, *refs):
             b = delta * sc * dbc[k][:, R : R + 1]
             h = _scan_full(a, b, rev)
             yk = h * dbc[k][:, R + 1 : R + 2] + sc * Ds_ref[k, 0, c0 : c0 + Dc].astype(f32)
-            if k in (1, 3):  # transposed-pixel order -> pixel order
-                yk = jnp.swapaxes(yk.reshape(W, H, Dc), 0, 1).reshape(L, Dc)
-            yc = yc + yk
+            if k in (1, 3):  # accumulate in w-major; one untranspose per chunk
+                ycT = ycT + yk
+            else:
+                yc = yc + yk
+        yc = yc + jnp.swapaxes(ycT.reshape(W, H, Dc), 0, 1).reshape(L, Dc)
         ln_sum = ln_sum + jnp.sum(yc, axis=-1, keepdims=True)
         ln_sq = ln_sq + jnp.sum(yc * yc, axis=-1, keepdims=True)
         chunks.append(yc.astype(cd) if cd != f32 else yc)

@@ -68,12 +68,18 @@ def _scan_masked(a, b, seg, reverse):
     within each segment; suffix when ``reverse``).  seg == T is the plain
     whole-chunk scan.
 
-    Round-3 negative result: a two-level variant (log2(8) full-width passes
-    + a carrier scan on the (T/8, D) summaries + broadcast combine) is
-    arithmetically ~half the passes but measured 19-24% SLOWER on hardware
-    at every live shape — Mosaic's sublane reshape/slice/broadcast
-    relayouts for the carriers cost more than the saved passes.  This
-    plain masked scan IS the fast spelling."""
+    Round-3 negative results (two attempts, both measured on hardware):
+    (1) a two-level variant (log2(8) full-width passes + a carrier scan on
+    the (T/8, D) summaries + broadcast combine) was 19-24% SLOWER at every
+    live shape — Mosaic's sublane reshape/slice/broadcast relayouts for the
+    carriers cost more than the saved passes; (2) the same reassociation
+    with the relayouts replaced by exact one-hot bf16 MXU matmuls
+    (three-plane fp32 split, gather/expand as (T/G,T)x(T,D) contractions)
+    was dead NEUTRAL — ratio 1.00 +-0.01 per segment across all 13 live
+    kernel shapes in a same-process interleaved A/B (scripts/seg_ab.py),
+    i.e. the fused kernels are not scan-VPU-bound.  Smaller chunk lengths
+    (fewer passes, TRAMBA_SEQ_BUDGET knob) also measured slower (153.5 vs
+    149.6 ms full-model).  This plain masked scan IS the fast spelling."""
     T = a.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
     s = 1
