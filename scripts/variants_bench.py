@@ -35,6 +35,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--img_size", type=int, default=384)
+    ap.add_argument("--only", default="", help="substring filter on method names")
     args = ap.parse_args()
     B = args.batch
     from tramba_tpu.models.registry import build
@@ -46,6 +47,8 @@ def main():
     x = jnp.zeros((B, S, S, 3), jnp.bfloat16)
     for method in ("Tramba-V-TSOD", "Tramba-S-TSOD", "Tramba-P-TSOD", "Tramba-R-TSOD",
                    "BaseUMamba-SOD"):
+        if args.only and args.only not in method:
+            continue
         model = build(method, img_size=S, dtype=jnp.bfloat16)
         variables = tramba_jit(lambda k, m=model: m.init(k, x))(jax.random.key(0))
         f = tramba_jit(lambda v, a, m=model: m.apply(v, a)[-1])

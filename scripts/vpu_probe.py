@@ -110,16 +110,6 @@ def _body(kind, x_ref, o_ref):
         delta = jax.nn.softplus(x * 0.1 - 1.0)
         a = jnp.exp(delta * -0.7)
         y = _scan2(a, delta * x)
-    elif kind == "scan_bf16":
-        # the scan arithmetic itself in bf16 (half the vregs per pass):
-        # measures whether dropping the in-scan precision buys throughput
-        a16 = (jnp.clip(x * 0.01, -0.9, 0.0) + 0.9).astype(jnp.bfloat16)
-        y = _scan(a16, x_ref[...]).astype(jnp.float32)
-    elif kind == "chain+scan_bf16":
-        delta = jax.nn.softplus(x * 0.1 - 1.0)
-        a = jnp.exp(delta * -0.7)
-        y = _scan(a.astype(jnp.bfloat16),
-                  (delta * x).astype(jnp.bfloat16)).astype(jnp.float32)
     elif kind == "rawcopy":
         y = x_ref[...]
     o_ref[...] = y.astype(o_ref.dtype)
@@ -145,8 +135,13 @@ def probe(kind, rows=524288, cols=256, dtype=jnp.bfloat16):
 
 def main():
     print(f"device: {jax.devices()[0]}, tile T={T}, bf16 I/O, fp32 compute")
+    # NOTE: a bf16-arithmetic scan (half the vregs per pass) is NOT testable:
+    # Mosaic's tpu.dynamic_rotate only lowers for 32-bit data ("Rotate with
+    # non-32-bit data" compile error), so pltpu.roll pins scan tiles to fp32.
+    # Measured floor at T=256: chain+scan ~29 Gelem/s; the live kernels ride
+    # at ~19-36 Gelem/s (scripts/roofline.py segments / scan-element counts).
     for kind in ("rawcopy", "copy", "mul", "exp", "chain", "scan", "scan2",
-                 "chain+scan", "chain+scan2", "scan_bf16", "chain+scan_bf16"):
+                 "chain+scan", "chain+scan2"):
         probe(kind)
 
 

@@ -204,3 +204,31 @@ def test_dwms_grid_chunked_fwd_matches_composed():
     got = _dwms_pallas2(*args, interpret=True, row_chunk=6, hidden_chunk=128)
     want = composed_ln_dwmsmlp(*args)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_dwmlp_ragged_hidden_chunk():
+    """PVTv2's conv-chain FFN at a hidden width the 512 chunk does NOT
+    divide (stage 3 of PVT-b4: hidden 4*320=1280).  Regression: the chunk
+    loop sliced a short tail and broke the (rows, W, Hc) reshape; the chunk
+    size must divide the hidden width (_hidden_chunk -> 256 here)."""
+    import numpy as np
+
+    from tramba_tpu.ops.fused_mlp import (
+        _hidden_chunk,
+        composed_ln_dwmlp,
+        dwmlp_fusable,
+        fused_ln_dwmlp,
+    )
+
+    assert _hidden_chunk(1280) == 256 and 1280 % _hidden_chunk(1280) == 0
+    # the live crash config: 384px PVT stage 3 map (24x24), bf16
+    assert dwmlp_fusable(24, 24, 320, 1280, jnp.bfloat16)
+
+    rng = np.random.default_rng(7)
+    B, H, W, D, Hd = 1, 8, 8, 16, 1280
+    t = lambda *s: jnp.asarray((rng.normal(size=s) * 0.2).astype(np.float32))
+    args = [t(B, H, W, D), t(D) + 1.0, t(D), t(D, Hd), t(Hd),
+            t(3, 3, 1, Hd), t(Hd), t(Hd, D), t(D)]
+    got = fused_ln_dwmlp(*args, eps=1e-6)
+    want = composed_ln_dwmlp(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)

@@ -77,8 +77,17 @@ def _pick_chunk(L: int, target: int) -> int:
 def _hidden_chunk(hidden: int) -> int:
     # 512 max: a single 512-wide chunk measures ~22 MB of Mosaic scoped-vmem
     # stack (the 83 conv-tap temps scale with chunk width) — inside the
-    # raised 32 MB limit that entry points set via utils/jit.tramba_jit
-    return hidden if hidden <= 512 else 512
+    # raised 32 MB limit that entry points set via utils/jit.tramba_jit.
+    # Must DIVIDE hidden: the kernels' chunk loops tile exactly (a ragged
+    # tail would slice short and break the (rows, W, Hc) reshape — hit by
+    # PVTv2-b4 stage 3, hidden 4*320=1280, whose largest 128-multiple
+    # divisor <= 512 is 256).
+    if hidden <= 512:
+        return hidden
+    for c in range(512, 127, -128):
+        if hidden % c == 0:
+            return c
+    return 128
 
 
 def _row_chunk_mlp(H: int, W: int, hidden: int) -> int:
