@@ -857,13 +857,17 @@ def _line_pair_kernel(R, Hline, hi, x_ref, wxe_ref, wxo_ref, wdte_ref, wdto_ref,
 
 
 def _line_pair_chunk(L, Hline, D):
-    """Chunk length: multiple of the line length within the VMEM budget."""
+    """Chunk length: multiple of the line length within the VMEM budget.
+
+    Mosaic requires the blocked (sublane) dim be %8 or equal to the full
+    array dim, so chunks must also be multiples of 8 unless they cover the
+    whole map — at 224px SOD maps (Hline 14/28) the line length itself is
+    not %8 and the smallest legal chunk is lcm-like (56) or L."""
     target = max(Hline, (65536 // max(D, 1)) // Hline * Hline)
-    best = Hline
-    for t in range(Hline, L + 1, Hline):
-        if L % t == 0 and t <= target:
-            best = t
-    return best
+    valid = [t for t in range(Hline, L + 1, Hline)
+             if L % t == 0 and (t % 8 == 0 or t == L)]
+    under = [t for t in valid if t <= target]
+    return max(under) if under else min(valid)
 
 
 @functools.partial(jax.jit, static_argnames=("Hline", "R", "interpret"))

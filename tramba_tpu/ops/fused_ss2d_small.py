@@ -56,7 +56,16 @@ def _d_chunk(D: int) -> int:
 
 
 def _scan_full(a, b, reverse):
-    """Full-length scan over axis 0 (no carry — whole sequence)."""
+    """Full-length scan over axis 0 (no carry — whole sequence).
+
+    Round-3 negative result (the third and decisive one on scan spelling):
+    a segmented spelling — log2(72) masked passes within vreg-aligned
+    72-row segments + a short serial carry chain — measures 1.3-1.6x the
+    flat whole-length scan in an ISOLATED pallas kernel at L=576, yet is
+    EXACTLY neutral (ratio 1.00, scripts/seg_ab.py) inside the real
+    megakernel at every live shape.  Mosaic overlaps the scan's VPU passes
+    with the kernel's MXU/transpose work, so reducing scan ops does not
+    shorten the kernel's critical path.  The flat spelling stays."""
     from tramba_tpu.ops.selective_scan import _scan_masked
 
     _, hp = _scan_masked(a, b, a.shape[0], reverse)
