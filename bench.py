@@ -96,8 +96,15 @@ def main():
                 "vs_baseline_bw_scaled": round(
                     ips / 500.0 * 819.0 / hbm_gbs, 3
                 ),  # vs_baseline if this memory-bound model had v5e-spec HBM BW
+                # NB: segments are standalone stacked-jit timings and carry
+                # per-call floors, so their sum OVERCOUNTS the in-model cost
+                # and the difference below is a lower bound on the non-SS2D
+                # share (it can go negative).  The trustworthy per-component
+                # split is scripts/ablate_bench.py (in-model nulling), which
+                # fully accounts for the forward: raster 42 + line 43 +
+                # freq 19 + FFN 33.5 + guides-rest ~5 + head ~4 ms of 148.
                 "ss2d_kernel_ms": round(seg_total * 1e3, 2),
-                "xla_rest_ms": round(dt * 1e3 - seg_total * 1e3, 2),
+                "model_minus_segments_ms": round(dt * 1e3 - seg_total * 1e3, 2),
                 "segments": segments,
             }
         )
