@@ -185,3 +185,15 @@ def test_train_route_ab_equivalent(monkeypatch):
     g2 = jax.grad(loss, argnums=(0, 1, 4))(*args)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_line_pair_chunk_sublane_rule():
+    """Chunks must be %8 rows (Mosaic sublane rule) or the whole map; at
+    224px SOD maps the line lengths 14/28 are not %8 themselves."""
+    from tramba_tpu.ops.fused_ss2d import _line_pair_chunk
+
+    for H in (12, 14, 24, 28, 48, 56, 96):
+        L = H * H
+        t = _line_pair_chunk(L, H, 1024)
+        assert t % H == 0 and L % t == 0
+        assert t % 8 == 0 or t == L, (H, t)

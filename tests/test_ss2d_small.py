@@ -86,35 +86,3 @@ def test_gate():
     assert smallmap_ok(12, 12, 1024, 2048, jnp.bfloat16)
     assert not smallmap_ok(96, 96, 128, 256, jnp.bfloat16)  # large maps -> chunked path
     assert not smallmap_ok(48, 48, 256, 512, jnp.bfloat16)
-
-
-def test_small_line_matches_composed():
-    """Whole-map K=8 line kernel (in-kernel Bresenham selectors) vs composed."""
-    from tramba_tpu.ops.fused_ss2d_small import (
-        composed_ss2d_small_line,
-        fused_ss2d_small_line,
-        smallmap_line_ok,
-    )
-
-    kw, H, W = _inputs(B=1, H=8, W=8, dm=16, D=32, seed=7)
-    # K=8 parameter stacks
-    import numpy as np
-
-    rng = np.random.default_rng(8)
-    arr = lambda *s, sc=0.2: jnp.asarray((rng.normal(size=s) * sc).astype(np.float32))
-    kw["x_proj_w"] = arr(8, 3 + 2, 32)
-    kw["dt_w"] = arr(8, 32, 3, sc=0.3)
-    kw["dt_b"] = arr(8, 32)
-    kw["A_logs"] = arr(8, 32, 1, sc=0.3)
-    kw["Ds"] = arr(8, 32, sc=1.0)
-    # post-prologue input: (B, L, D) directly
-    import numpy as _np
-    xpp = jnp.asarray(_np.random.default_rng(9).normal(size=(1, H * W, 32)).astype(_np.float32))
-    a = (xpp, kw["x_proj_w"], kw["dt_w"], kw["dt_b"], kw["A_logs"], kw["Ds"],
-         kw["ln_scale"], kw["ln_bias"], kw["w_out"], H, W)
-    y_c = composed_ss2d_small_line(*a)
-    y_f = fused_ss2d_small_line(*a)
-    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c), rtol=3e-4, atol=3e-4)
-    assert smallmap_line_ok(24, 24, 512, 1024, jnp.bfloat16, enable=True)
-    assert not smallmap_line_ok(48, 48, 256, 512, jnp.bfloat16, enable=True)
-    assert not smallmap_line_ok(24, 24, 512, 1024, jnp.bfloat16)  # opt-in

@@ -25,12 +25,7 @@ from tramba_tpu.ops.fused_ss2d import (
     fused_ss2d_full,
 )
 from tramba_tpu.ops.fused_prologue import fused_prologue, prologue_fusable
-from tramba_tpu.ops.fused_ss2d_small import (
-    fused_ss2d_small,
-    fused_ss2d_small_line,
-    smallmap_line_ok,
-    smallmap_ok,
-)
+from tramba_tpu.ops.fused_ss2d_small import fused_ss2d_small, smallmap_ok
 from tramba_tpu.ops.scan_orders import cross_merge, cross_scan
 from tramba_tpu.ops.selective_scan import selective_scan
 
@@ -148,8 +143,6 @@ class SS2D(nn.Module):
         )
         use_small = (small_base and self.scan_kind == "raster" and K == 4
                      and smallmap_ok(H, W, self.d_model, d_inner, self.dtype))
-        use_small_line = (small_base and self.scan_kind == "line" and K == 8
-                          and smallmap_line_ok(H, W, self.d_model, d_inner, self.dtype))
         if use_small:
             # whole-map megakernel: prologue + 4-dir scan + merge + LN/GELU/proj
             w_in = _DenseParams(self.d_model, d_inner, name="in_proj")()
@@ -219,13 +212,6 @@ class SS2D(nn.Module):
         )
         ln_scale, ln_bias = _NormParams(d_inner, name="out_norm")()
         w_out = _DenseParams(d_inner, self.d_model, name="out_proj")()
-        if use_small_line:
-            # whole-map K=8 kernel on the post-prologue map (in-kernel
-            # Bresenham selectors; D-chunked via the grid)
-            y = fused_ss2d_small_line(x.reshape(B, L, d_inner), x_proj_w, dt_w,
-                                      dt_b, A_logs, Ds, ln_scale, ln_bias, w_out,
-                                      H, W)
-            return y.reshape(B, H, W, self.d_model)
         if use_folded:
             # direction-folded kernels: scan orders live as index maps /
             # pre-permuted views; merge + LayerNorm + GELU + out proj fused

@@ -302,183 +302,14 @@ fused_ss2d_small.defvjp(_small_fwd, _small_bwd)
 
 
 # ---------------------------------------------------------------------------
-# Line (K=8) small-map variant: at 24px the (L, L) one-hot Bresenham
-# selectors fit in VMEM, so the 4 Helix directions run inside the same
-# whole-map kernel — the family sequences exist only chunk-at-a-time, and
-# the scatter-add merge is the selector matmul's adjoint (same contraction,
-# other operand side).  Covers the decoder's coarsest MultiScale blocks.
+# Deleted experiment (round 2-3): a whole-map K=8 line variant ran the 4
+# Helix directions inside this kernel with (L, L) one-hot Bresenham
+# selectors resident in VMEM (the scatter-add merge being the selector
+# matmul's adjoint).  Measured on-chip at the flagship's 24px stage it was
+# parity-to-slightly-SLOWER than the two-phase paired-line pipeline (150.9
+# vs 148.1 ms full model): the 128-wide grid chunks it needed to fit scoped
+# vmem made the 8x redundant per-direction projections dominate.  Verdict
+# round 2 weak-item #5: make it win or delete it - deleted (git history has
+# the kernel; tests/test_ss2d_small.py had it at parity with the composed
+# oracle, so the negative is a performance fact, not a correctness one).
 # ---------------------------------------------------------------------------
-
-from tramba_tpu.ops.fused_ss2d import _scan_chunk_lines  # noqa: E402
-
-
-def smallmap_line_ok(H: int, W: int, d_model: int, d_inner: int, dtype,
-                     enable: bool = False) -> bool:
-    # measured on-chip: the whole-map K=8 kernel (128-wide grid chunks to fit
-    # scoped vmem, 8x redundant projections) runs at parity-to-slightly-slower
-    # than the two-phase pipeline at the flagship's 24px stage (150.9 vs
-    # 148.1 ms full model), so it stays opt-in.
-    L = H * W
-    return (
-        enable
-        and H == W
-        and smallmap_ok(H, W, d_model, d_inner, dtype)
-        and 2 * L * L * jnp.dtype(dtype).itemsize <= 3 * 1024 * 1024
-    )
-
-
-def _line_small_selectors(H: int, W: int, dtype):
-    """One-hot (L, L) seq<-pixel selectors for the two Bresenham families."""
-    import numpy as np
-
-    from tramba_tpu.ops.scan_orders import line_tables
-
-    L = H * W
-    tabs = line_tables(H, W)
-    out = []
-    for fam_dir in (0, 2):
-        S = np.zeros((L, L), np.float32)
-        S[np.arange(L), np.asarray(tabs[fam_dir], np.int64)] = 1.0
-        out.append(jnp.asarray(S, dtype))
-    return out
-
-
-def _small_line_kernel(R, H, W, Dc, hi, x_ref, wx_ref, wdt_ref, bias_ref, A_ref,
-                       Ds_ref, S0_ref, S1_ref, out_ref):
-    """One D-chunk of the whole-map K=8 core; the grid's inner axis walks the
-    chunks so the resident map block is fetched once per batch element
-    (Mosaic does not reuse stack slots across unrolled in-kernel loops, so
-    chunking must live in the grid)."""
-    prec = jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT
-    f32 = jnp.float32
-    L = H * W
-    c = pl.program_id(1)
-    x = x_ref[0]  # (L, D), model dtype, post-prologue
-    D = x.shape[-1]
-    xT = jnp.swapaxes(x.reshape(H, W, D), 0, 1).reshape(L, D)
-
-    def dbc_for(seq, k):
-        return jax.lax.dot_general(seq.astype(f32), wx_ref[k].astype(f32),
-                                   (((1,), (1,)), ((), ())),
-                                   preferred_element_type=f32, precision=prec)
-
-    S = {0: S0_ref, 1: S1_ref}
-    dbc = {}
-    for k in (0, 2):
-        dbc[k] = dbc_for(x, k)
-    for k in (1, 3):
-        dbc[k] = dbc_for(xT, k)
-    for f in (0, 1):
-        for par in (0, 1):
-            k = 4 + 2 * f + par
-            dbc[k] = jax.lax.dot_general(
-                S[f][...].astype(f32), dbc_for(x, k), (((1,), (0,)), ((), ())),
-                preferred_element_type=f32, precision=prec)
-
-    def scan_flip(a, b):
-        A_ln, hp_ln = _scan_chunk_lines(a, b, H)
-        cc = jnp.zeros((1, a.shape[-1]), f32)
-        segs = []
-        for m in range(L // H):
-            seg_A = A_ln[m * H : (m + 1) * H]
-            seg_h = hp_ln[m * H : (m + 1) * H]
-            segs.append(seg_h + seg_A * cc)
-            cc = seg_h[0:1] + seg_A[0:1] * cc
-        return jnp.concatenate(segs, axis=0)
-
-    def dir_y(k, sc, dbck, flip=False, rev=False):
-        dt = jax.lax.dot_general(dbck[:, :R], wdt_ref[k, pl.ds(c * Dc, Dc)].astype(f32),
-                                 (((1,), (1,)), ((), ())),
-                                 preferred_element_type=f32, precision=prec)
-        delta = jax.nn.softplus(dt + bias_ref[k, 0, pl.ds(c * Dc, Dc)].astype(f32))
-        a = jnp.exp(delta * A_ref[k, 0, pl.ds(c * Dc, Dc)].astype(f32))
-        b = delta * sc * dbck[:, R : R + 1]
-        h = scan_flip(a, b) if flip else _scan_full(a, b, rev)
-        return h * dbck[:, R + 1 : R + 2] + sc * Ds_ref[k, 0, pl.ds(c * Dc, Dc)].astype(f32)
-
-    xc = x_ref[0, :, pl.ds(c * Dc, Dc)].astype(f32)  # (L, Dc)
-    xcT = jnp.swapaxes(xc.reshape(H, W, Dc), 0, 1).reshape(L, Dc)
-    yc = dir_y(0, xc, dbc[0]) + dir_y(2, xc, dbc[2], rev=True)
-    yT = dir_y(1, xcT, dbc[1]) + dir_y(3, xcT, dbc[3], rev=True)
-    yc = yc + jnp.swapaxes(yT.reshape(W, H, Dc), 0, 1).reshape(L, Dc)
-    for f in (0, 1):
-        xf = jax.lax.dot_general(S[f][...].astype(f32), xc, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=f32, precision=prec)
-        acc = dir_y(4 + 2 * f, xf, dbc[4 + 2 * f]) \
-            + dir_y(5 + 2 * f, xf, dbc[5 + 2 * f], flip=True)
-        yc = yc + jax.lax.dot_general(S[f][...].astype(f32), acc,
-                                      (((0,), (0,)), ((), ())),
-                                      preferred_element_type=f32, precision=prec)
-    out_ref[0] = yc.astype(out_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
-def _small_line_pallas(x, x_proj_w, dt_w, dt_b, A_logs, Ds,
-                       ln_scale, ln_bias, w_out, H: int, W: int, interpret=False):
-    B, L, D = x.shape
-    R = dt_w.shape[-1]
-    cd = x.dtype
-    f32 = jnp.float32
-    # narrower chunks than the raster kernel: 8 unrolled directions' temps
-    # share the scoped-vmem stack without slot reuse
-    Dc = 128 if D > 128 else D
-    nC = D // Dc
-    A = -jnp.exp(A_logs.astype(f32))[..., 0]  # (8, D)
-    S0, S1 = _line_small_selectors(H, W, cd)
-    par = lambda *s: pl.BlockSpec(s, lambda b, c: (0,) * len(s), memory_space=pltpu.VMEM)
-    C = x_proj_w.shape[1]
-    y_sum = _vcall(
-        functools.partial(_small_line_kernel, R, H, W, Dc, cd == jnp.float32),
-        out_shape=jax.ShapeDtypeStruct((B, L, D), cd),
-        grid=(B, nC),
-        in_specs=[
-            pl.BlockSpec((1, L, D), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
-            par(8, C, D), par(8, D, R), par(8, 1, D), par(8, 1, D), par(8, 1, D),
-            par(L, L), par(L, L),
-        ],
-        out_specs=pl.BlockSpec((1, L, Dc), lambda b, c: (b, 0, c),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(x, x_proj_w.astype(cd), dt_w.astype(cd),
-      dt_b.astype(f32)[:, None], A[:, None], Ds.astype(f32)[:, None], S0, S1)
-    return _lgp_pallas(y_sum, ln_scale, ln_bias, w_out, interpret=interpret)
-
-
-def composed_ss2d_small_line(x, x_proj_w, dt_w, dt_b, A_logs, Ds,
-                             ln_scale, ln_bias, w_out, H, W):
-    from tramba_tpu.ops.fused_ss2d import composed_ss2d_full
-
-    return composed_ss2d_full(x, x_proj_w, dt_w, dt_b, A_logs, Ds,
-                              ln_scale, ln_bias, w_out, kind="line", H=H, W=W,
-                              backend="assoc")
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
-def fused_ss2d_small_line(x, x_proj_w, dt_w, dt_b, A_logs, Ds,
-                          ln_scale, ln_bias, w_out, H, W):
-    """Whole-map K=8 line SS2D (post-prologue input); VJP recomputes through
-    the chunked core's native backward."""
-    interp = jax.default_backend() != "tpu"
-    return _small_line_pallas(x, x_proj_w, dt_w, dt_b, A_logs, Ds,
-                              ln_scale, ln_bias, w_out, H, W, interpret=interp)
-
-
-def _small_line_fwd(x, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out,
-                    H, W):
-    out = fused_ss2d_small_line(x, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale,
-                                ln_bias, w_out, H, W)
-    return out, (x, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out)
-
-
-def _small_line_bwd(H, W, res, g):
-    from tramba_tpu.ops.fused_ss2d import fused_ss2d_full
-
-    def f(x, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale, ln_bias, w_out):
-        return fused_ss2d_full(x, x_proj_w, dt_w, dt_b, A_logs, Ds, ln_scale,
-                               ln_bias, w_out, "line", H, W)
-
-    _, vjp = jax.vjp(f, *res)
-    return vjp(g)
-
-
-fused_ss2d_small_line.defvjp(_small_line_fwd, _small_line_bwd)
