@@ -44,6 +44,19 @@ def test_tramba_forward_224():
         (1, 14, 14, 1), (1, 28, 28, 1), (1, 56, 56, 1), (1, 224, 224, 1)]
 
 
+def test_tramba_forward_512():
+    """512px support (upward direction: stage maps 128/64/32/16, all %8)."""
+    from tramba_tpu.models.tramba import TrambaV
+
+    m = TrambaV(img_size=512, dims=8, enc_depths=(1, 1, 1, 1), dec_depths=(1, 1, 1, 1),
+                ssm_backend="assoc")
+    x = jnp.zeros((1, 512, 512, 3))
+    params = m.init(jax.random.key(0), x)
+    outs = m.apply(params, x)
+    assert [o.shape for o in outs] == [
+        (1, 32, 32, 1), (1, 64, 64, 1), (1, 128, 128, 1), (1, 512, 512, 1)]
+
+
 def test_profiling_utils():
     from tramba_tpu.utils.profiling import count_params, selective_scan_flops
 
