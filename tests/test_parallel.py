@@ -114,3 +114,54 @@ def test_training_overfits_tiny_batch():
         state, m = step(state, images, gts, jax.random.key(1))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] - 0.2, losses  # steady descent (loss floor ~2.3 from 4-head BCE+IoU)
+
+
+def test_ss2d_tensor_parallel_matches_composed():
+    """Channel-sharded SS2D (d_inner over the 8-device 'model' axis, three
+    psums per block — parallel/tp.py) matches the single-device composed
+    path bit-closely, for raster and a windowed guide order."""
+    from tramba_tpu.nn.ssm import SS2D
+    from tramba_tpu.parallel.tp import use_tensor_mesh
+
+    rng = np.random.default_rng(5)
+    mesh = make_mesh(("model",))
+    for kind, param, K in (("raster", 0, 4), ("window", 4, 4), ("line", 0, 8)):
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+        ln = (jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1 + 1),
+              jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1))
+        kw = dict(d_model=16, scan_kind=kind, scan_param=param, k_group=K)
+        ref = SS2D(backend="assoc", **kw)
+        variables = ref.init(jax.random.key(0), x, ln=ln)
+        want = ref.apply(variables, x, ln=ln)
+        tp = SS2D(backend="tensor_parallel", **kw)
+        with use_tensor_mesh(mesh, "model"):
+            got = jax.jit(lambda v, a: tp.apply(v, a, ln=ln))(variables, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_model_level_tensor_parallel():
+    """Whole tiny flagship with ssm_backend='tensor_parallel' on a dp x tp
+    mesh: every SS2D (encoder raster, decoder line, guide window/dilation)
+    shards d_inner over 'model' while the batch shards over 'data'."""
+    from tramba_tpu.models.tramba import TrambaV
+    from tramba_tpu.parallel.tp import use_tensor_mesh
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+
+    def build(backend):
+        return TrambaV(img_size=64, dims=8, enc_depths=(1, 1, 1, 1),
+                       dec_depths=(1, 1, 1, 1), ssm_backend=backend)
+
+    variables = build("assoc").init(jax.random.key(0), x)
+    want = build("assoc").apply(variables, x)
+
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "model"))
+    with use_tensor_mesh(mesh, "model", batch_axis="data"):
+        got = jax.jit(lambda v, a: build("tensor_parallel").apply(v, a))(variables, x)
+        got = jax.tree.map(np.asarray, got)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-4)

@@ -131,6 +131,29 @@ class SS2D(nn.Module):
         N = self.d_state
         K = self.k_group
 
+        if self.backend == "tensor_parallel":
+            # d_inner sharded over the ambient 'model' mesh axis (dp x tp x sp
+            # story: parallel/tp.py); identical param tree to the other paths
+            if N != 1 or self.bias or self.conv_bias or self.d_conv != 3:
+                raise ValueError(
+                    "tensor_parallel supports the live SS2D config only "
+                    "(d_state 1, no in/conv bias, 3x3 depthwise conv)")
+            from tramba_tpu.parallel.tp import ss2d_tensor_parallel
+
+            w_in = _DenseParams(self.d_model, d_inner, name="in_proj")()
+            conv_k = _Conv2dParams(self.d_conv, d_inner, name="conv2d")()
+            x_proj_w = self.param("x_proj_weight", _uniform_fan_in(d_inner), (K, R + 2 * N, d_inner))
+            dt_w = self.param("dt_projs_weight", _uniform_fan_in(R), (K, d_inner, R))
+            dt_b = self.param("dt_projs_bias", _dt_bias_init(), (K, d_inner))
+            A_logs = self.param("A_logs", _a_log_init, (K, d_inner, N))
+            Ds = self.param("Ds", nn.initializers.ones, (K, d_inner))
+            ln_scale, ln_bias = _NormParams(d_inner, name="out_norm")()
+            w_out = _DenseParams(d_inner, self.d_model, name="out_proj")()
+            return ss2d_tensor_parallel(x, ln, w_in, conv_k, x_proj_w, dt_w,
+                                        dt_b, A_logs, Ds, ln_scale, ln_bias,
+                                        w_out, self.scan_kind, H, W,
+                                        self.scan_param or 0)
+
         on_tpu = jax.default_backend() == "tpu"
         kernel_ok = self.backend == "pallas" or (self.backend is None and on_tpu)
         small_base = (
