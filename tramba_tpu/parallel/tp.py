@@ -18,6 +18,12 @@ reference cannot express at all (its CUDA kernel owns the whole d_inner);
 combined with the 'data' (batch) and 'seq' (L-axis, parallel/seq_scan.py)
 axes it completes a 3-D dp x tp x sp mesh for the SSM family.
 
+Scope: this shards the SS2D core (where the SSM-specific coupling lives).
+Block FFNs and projections outside SS2D run replicated across the 'model'
+axis — they are plain matmuls XLA's GSPMD can shard independently via
+parameter sharding annotations (Megatron-style fc1-column/fc2-row), no
+custom op needed.
+
 Usage (mirrors parallel/seq_scan.use_sequence_mesh):
 
     mesh = Mesh(devices, ("model",))
