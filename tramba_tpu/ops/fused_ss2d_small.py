@@ -32,7 +32,10 @@ __all__ = ["fused_ss2d_small", "smallmap_ok"]
 
 def smallmap_ok(H: int, W: int, d_model: int, d_inner: int, dtype) -> bool:
     """Whole-map kernel eligibility: map + weights resident in VMEM."""
-    if os.environ.get("TRAMBA_NO_SMALLMAP", "0") == "1":  # routing A/B probe
+    # routing A/B (same-process interleaved, scripts/scan_ab.py --knob
+    # TRAMBA_NO_SMALLMAP): megakernel 149.75 ms vs chunked 150.84 ms
+    # full-model median, spread < 0.4 ms — the megakernel stays the default
+    if os.environ.get("TRAMBA_NO_SMALLMAP", "0") == "1":
         return False
     bpe = jnp.dtype(dtype).itemsize
     L = H * W
