@@ -6,6 +6,11 @@ flagship forward TWICE in one process — once with --knob set to "1", once
 to "0" (knobs are read at trace time) — and interleaves the timing loops
 so both variants see the same chip weather.
 
+Caveat: a knob read inside a module-level inner jit hits JAX's trace cache
+on the second flag (same function object + same avals => cached jaxpr, no
+Python re-execution), so without cache clearing both "variants" can be the
+same program.  jax.clear_caches() after each env flip forces fresh traces.
+
 Used for the round-3 two-level-MXU-scan A/B (verdict: dead neutral; the
 experiment was deleted — see ops/selective_scan.py _scan_masked notes).
 
@@ -45,6 +50,7 @@ def main():
     fns = {}
     for name, flag in (("on", "1"), ("off", "0")):
         os.environ[args.knob] = flag
+        jax.clear_caches()  # see docstring: defeat the inner-jit trace cache
 
         @tramba_jit
         def fwd(p, a):
@@ -52,10 +58,13 @@ def main():
             return jnp.sum(out.astype(jnp.float32))
 
         t0 = time.time()
-        v = float(fwd(params, x))
+        # AOT-compile: the held executable must survive the clear_caches()
+        # of the next flip (a live jit would re-trace under the other flag)
+        compiled = fwd.lower(params, x).compile()
+        v = float(compiled(params, x))
         print(f"{name}: compiled in {time.time()-t0:.0f}s, checksum {v:.4f}",
               flush=True)
-        fns[name] = fwd
+        fns[name] = compiled
 
     results = {"on": [], "off": []}
     for r in range(args.rounds):

@@ -5,6 +5,13 @@ knob on vs off in one process, so chip weather is shared.  Round-3 use: the
 two-level MXU-scan experiment measured ratio 1.00 +-0.01 on every segment
 (deleted; negative recorded in ops/selective_scan.py).
 
+Caveat: knobs read inside inner-jit bodies (e.g. TRAMBA_SEQ_BUDGET via
+_seq_target) hit JAX's trace cache on the second flag — same function object
++ same avals returns the cached jaxpr without re-running Python — so both
+variants can silently compile the SAME program (an exactly-1.00 ratio is
+then an artifact).  We call jax.clear_caches() after every env flip to force
+a fresh trace of every jit in the program under the new flag.
+
 Usage: python scripts/seg_ab.py --knob TRAMBA_NO_SMALLMAP
 """
 
@@ -34,11 +41,16 @@ def main():
     fns = {}
     for name, flag in (("on", "1"), ("off", "0")):
         os.environ[opts.knob] = flag
+        # knobs read inside module-level inner jits would otherwise hit the
+        # trace cache on the second flag and compare a variant with itself
+        jax.clear_caches()
         for segname, H, D, kind, n in rl.FLAGSHIP_SEGMENTS:
-            # fresh module + fresh tramba_jit per flag: env read at trace time
+            # fresh module + fresh tramba_jit per flag: env read at trace time.
+            # AOT-compile so the held executable survives the clear_caches()
+            # of the NEXT flip (a live jit would silently re-trace under the
+            # other flag when first called in the timing loop).
             f, args, L = rl._segment_fn(kind, H, D, 16, jnp.bfloat16)
-            float(f(*args))  # trace + compile under this flag
-            fns[(name, segname)] = (f, args)
+            fns[(name, segname)] = (f.lower(*args).compile(), args)
         print(f"{name}: traced+compiled", flush=True)
 
     res = {}

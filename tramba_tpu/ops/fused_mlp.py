@@ -87,7 +87,9 @@ def _hidden_chunk(hidden: int) -> int:
     for c in range(512, 127, -128):
         if hidden % c == 0:
             return c
-    return 128
+    # unreachable via the *_fusable gates (they require hidden % 128 == 0);
+    # fail loudly rather than hand back a non-divisor chunk
+    raise ValueError(f"_hidden_chunk: hidden={hidden} not a multiple of 128")
 
 
 def _row_chunk_mlp(H: int, W: int, hidden: int) -> int:

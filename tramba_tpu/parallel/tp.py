@@ -136,7 +136,9 @@ def ss2d_tensor_parallel(x, ln, w_in, conv_k, x_proj_w, dt_w, dt_b, A_logs, Ds,
         s1 = jax.lax.psum(jnp.sum(y, axis=-1, keepdims=True), axis)
         s2 = jax.lax.psum(jnp.sum(y * y, axis=-1, keepdims=True), axis)
         mu = s1 / D
-        var = s2 / D - mu * mu
+        # one-pass E[y^2]-mu^2 form (the composed path centers first); clamp:
+        # catastrophic cancellation can drive it slightly negative in fp32
+        var = jnp.maximum(s2 / D - mu * mu, 0.0)
         y = (y - mu) * jax.lax.rsqrt(var + eps) * ln_scale.astype(f32) \
             + ln_bias.astype(f32)
         y = jax.nn.gelu(y, approximate=False).astype(cd)
