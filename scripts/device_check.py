@@ -159,6 +159,26 @@ def main():
     for n, a, b in zip(("dx", "dwq", "dwp"), gf, gc):
         ok &= _check(f"sra grad {n}", a, b, 5e-3)
 
+    # Swin fused window attention (shifted: with mask)
+    from tramba_tpu.models.swin import _shift_attn_mask
+    from tramba_tpu.ops.fused_attn import composed_window_attn, fused_window_attn
+
+    wH, ww, wnh = 24, 12, 4
+    N = ww * ww
+    watt = (t(2, wH, wH, C), t(C) + 1.0, t(C), t(C, 3 * C), t(3 * C),
+            t(wnh, N, N), jnp.asarray(_shift_attn_mask(wH, wH, ww, ww // 2)),
+            t(C, C), t(C))
+    ok &= _check("window attn fwd",
+                 jax.jit(lambda *a: fused_window_attn(*a, wnh, 1e-5))(*watt),
+                 jax.jit(lambda *a: composed_window_attn(*a, wnh, 1e-5))(*watt),
+                 1e-3)
+    gf = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.tanh(
+        fused_window_attn(*a, wnh, 1e-5))), argnums=(0, 3, 7)))(*watt)
+    gc = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.tanh(
+        composed_window_attn(*a, wnh, 1e-5))), argnums=(0, 3, 7)))(*watt)
+    for n, a, b in zip(("dx", "dwqkv", "dwp"), gf, gc):
+        ok &= _check(f"window attn grad {n}", a, b, 5e-3)
+
     wargs = (t(2, 16, 16, C), t(C) + 1.0, t(C), t(C, 256), t(256),
              t(3, 3, 1, 256), t(256), t(256, C), t(C))
     ok &= _check("ln+dwmlp fwd",

@@ -16,13 +16,30 @@ from __future__ import annotations
 import functools
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from tramba_tpu.nn.layers import DropPath, trunc_normal_init
+from tramba_tpu.nn.layers import DropPath, _NormP, trunc_normal_init
 
 __all__ = ["SwinEncoder", "swin_b_384_config"]
+
+
+class _DenseP(nn.Module):
+    """Dense kernel+bias params, applied inside fused kernels."""
+
+    fin: int
+    fout: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", trunc_normal_init, (self.fin, self.fout)),
+                self.param("bias", nn.initializers.zeros, (self.fout,)))
+
+
+def _fused_ok(force: bool = False) -> bool:
+    return force or jax.default_backend() == "tpu"
 
 _dense = lambda f, name, bias=True, dtype=None: nn.Dense(
     f, use_bias=bias, kernel_init=trunc_normal_init, dtype=dtype, name=name)
@@ -76,7 +93,23 @@ class WindowAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, ln=None):
+        if ln is not None:
+            # fused path: x is the full (B, H, W, C) map (pre-rolled if the
+            # block is shifted); LN + qkv + softmax(+bias+mask) + proj run in
+            # one kernel, partition/reverse fold into its BlockSpec index map
+            from tramba_tpu.ops.fused_attn import fused_window_attn
+
+            C, nh, w = self.dim, self.num_heads, self.window
+            wqkv, bqkv = _DenseP(C, 3 * C, name="qkv")()
+            wp, bp = _DenseP(C, C, name="proj")()
+            table = self.param("relative_position_bias_table", trunc_normal_init,
+                               ((2 * w - 1) ** 2, nh))
+            idx = _relative_position_index(w).reshape(-1)
+            N = w * w
+            bias = table[idx].reshape(N, N, nh).transpose(2, 0, 1)
+            return fused_window_attn(x, ln[0], ln[1], wqkv, bqkv, bias, mask,
+                                     wp, bp, nh, 1e-5)
         Bn, N, C = x.shape
         nh, hd = self.num_heads, C // self.num_heads
         qkv = _dense(3 * C, "qkv", dtype=self.dtype)(x).reshape(Bn, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)
@@ -105,29 +138,56 @@ class SwinBlock(nn.Module):
     shift: int
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    force_fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from tramba_tpu.ops.fused_attn import window_attn_fusable
+        from tramba_tpu.ops.fused_mlp import fused_ln_mlp, mlp_fusable
+
         H = W = self.resolution
         window, shift = self.window, self.shift
         if self.resolution <= window:
             window, shift = self.resolution, 0
         B, L, C = x.shape
-        y = _ln("norm1", self.dtype)(x).reshape(B, H, W, C)
-        if shift > 0:
-            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-        win = window_partition(y, window)
+        attn = WindowAttention(self.dim, window, self.num_heads,
+                               dtype=self.dtype, name="attn")
         mask = jnp.asarray(_shift_attn_mask(H, W, window, shift)) if shift > 0 else None
-        win = WindowAttention(self.dim, window, self.num_heads, dtype=self.dtype, name="attn")(win, mask)
-        y = window_reverse(win, window, H, W)
-        if shift > 0:
-            y = jnp.roll(y, (shift, shift), axis=(1, 2))
-        x = x + DropPath(self.drop_path)(y.reshape(B, L, C), deterministic)
-        y = _ln("norm2", self.dtype)(x)
-        y = _dense(int(C * self.mlp_ratio), "mlp_fc1", dtype=self.dtype)(y)
-        y = nn.gelu(y, approximate=False)
-        y = _dense(C, "mlp_fc2", dtype=self.dtype)(y)
+        if (_fused_ok(self.force_fused)
+                and window_attn_fusable(H, W, C, self.num_heads, window,
+                                        self.dtype, force=self.force_fused)):
+            ln1 = _NormP(C, name="norm1")()
+            y = x.reshape(B, H, W, C)
+            if shift > 0:
+                y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            y = attn(y, mask=mask, ln=ln1)
+            if shift > 0:
+                y = jnp.roll(y, (shift, shift), axis=(1, 2))
+            y = y.reshape(B, L, C)
+        else:
+            y = _ln("norm1", self.dtype)(x).reshape(B, H, W, C)
+            if shift > 0:
+                y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            win = window_partition(y, window)
+            win = attn(win, mask)
+            y = window_reverse(win, window, H, W)
+            if shift > 0:
+                y = jnp.roll(y, (shift, shift), axis=(1, 2))
+            y = y.reshape(B, L, C)
+        x = x + DropPath(self.drop_path)(y, deterministic)
+        hidden = int(C * self.mlp_ratio)
+        if (_fused_ok(self.force_fused) and L % 8 == 0
+                and mlp_fusable(C, hidden, self.dtype, force=self.force_fused)):
+            ln2 = _NormP(C, name="norm2")()
+            w1, b1 = _DenseP(C, hidden, name="mlp_fc1")()
+            w2, b2 = _DenseP(hidden, C, name="mlp_fc2")()
+            y = fused_ln_mlp(x, ln2[0], ln2[1], w1, b1, w2, b2)
+        else:
+            y = _ln("norm2", self.dtype)(x)
+            y = _dense(hidden, "mlp_fc1", dtype=self.dtype)(y)
+            y = nn.gelu(y, approximate=False)
+            y = _dense(C, "mlp_fc2", dtype=self.dtype)(y)
         x = x + DropPath(self.drop_path)(y, deterministic)
         return x
 
@@ -161,6 +221,7 @@ class SwinEncoder(nn.Module):
     window: int = 12
     drop_path_rate: float = 0.1
     run_last_stage: bool = False  # reference discards stage-4 block output
+    force_fused: bool = False  # exercise fused kernels off-TPU (interpret mode)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -188,6 +249,7 @@ class SwinEncoder(nn.Module):
                     window=self.window,
                     shift=0 if d % 2 == 0 else self.window // 2,
                     drop_path=float(dpr[sum(self.depths[:s]) + d]),
+                    force_fused=self.force_fused,
                     dtype=self.dtype,
                     name=f"layer{s}_block{d}",
                 )(h, deterministic)
