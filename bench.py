@@ -59,11 +59,33 @@ def main():
     dt = (time.time() - t0) / iters
     ips = batch / dt
 
+    # required model FLOPs (fvcore-style: 2MNK dots/convs + the reference's
+    # 9-flops/element scan handle, csms6s.py:772-793), traced on the COMPOSED
+    # model so nothing hides inside Pallas custom calls; plus XLA's own count
+    # of the fused executable (a lower bound — Mosaic custom calls report ~0)
+    from tramba_tpu.utils.profiling import analytic_model_flops
+
+    model_seq = TrambaV(dtype=dtype, ssm_backend="seq")
+    flops = analytic_model_flops(
+        lambda p, a: model_seq.apply(p, a)[-1], params, x)
+    gflops = flops["total_flops"] / 1e9
+    achieved_gflops = gflops / dt
+    try:
+        ca = fwd.lower(params, x).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        xla_fused_gflops = round(float(ca.get("flops", 0.0)) / 1e9, 1)
+    except Exception:
+        xla_fused_gflops = None
+
+    # measured MXU peak on THIS chip (same-process, like the HBM probe)
+    import scripts.roofline as rl
+
+    mxu_tflops, _ = rl.measure_mxu_peak()
+
     # measured HBM copy roofline on THIS chip: median of HBM_PROBE_RUNS
     # passthrough-probe repetitions with the spread reported (the committed
     # probe, not the spec sheet — see scripts/roofline.py).
-    import scripts.roofline as rl
-
     probes = sorted(rl.measure_hbm_bandwidth(mbytes=256)[0]
                     for _ in range(HBM_PROBE_RUNS))
     hbm_gbs = probes[len(probes) // 2]
@@ -96,6 +118,19 @@ def main():
                 "vs_baseline_bw_scaled": round(
                     ips / 500.0 * 819.0 / hbm_gbs, 3
                 ),  # vs_baseline if this memory-bound model had v5e-spec HBM BW
+                # compute-side roofline: required model GFLOPs (analytic) at
+                # the achieved rate, vs the co-measured MXU peak and v5e spec
+                "model_gflops": round(gflops, 1),
+                "model_gflops_split": {
+                    "matmul_conv": round(flops["matmul_conv_flops"] / 1e9, 1),
+                    "scan_handle": round(flops["scan_handle_flops"] / 1e9, 1),
+                },
+                "xla_fused_gflops": xla_fused_gflops,
+                "achieved_gflops_per_s": round(achieved_gflops, 1),
+                "mxu_bf16_tflops_measured": round(mxu_tflops, 1),
+                "mfu_vs_measured_peak": round(
+                    achieved_gflops / (mxu_tflops * 1e3), 4),
+                "mfu_vs_v5e_spec_197t": round(achieved_gflops / 197e3, 4),
                 # NB: segments are standalone stacked-jit timings and carry
                 # per-call floors, so their sum OVERCOUNTS the in-model cost
                 # and the difference below is a lower bound on the non-SS2D

@@ -163,9 +163,10 @@ def _linear_scan_impl(a, b, backend: Optional[str]):
             sequence_parallel_linear_scan,
         )
 
-        mesh, axis_name = current_sequence_mesh()
+        mesh, axis_name, batch_axis = current_sequence_mesh()
         return sequence_parallel_linear_scan(
-            a.astype(jnp.float32), b.astype(jnp.float32), mesh, axis_name
+            a.astype(jnp.float32), b.astype(jnp.float32), mesh, axis_name,
+            batch_axis=batch_axis
         )
     if backend == "seq":
         return _linear_scan_seq(a, b)

@@ -33,15 +33,18 @@ _ctx = threading.local()
 
 
 @contextlib.contextmanager
-def use_sequence_mesh(mesh: Mesh, axis_name: str = "seq"):
+def use_sequence_mesh(mesh: Mesh, axis_name: str = "seq",
+                      batch_axis: Optional[str] = None):
     """Route ``ssm_backend='seq_parallel'`` models through this mesh axis.
 
     Model code never sees the mesh; SS2D just passes backend='seq_parallel'
     to linear_scan, which picks the ambient mesh up from here (the flag that
-    lifts SURVEY §5.7 from an op demo to a model capability).
+    lifts SURVEY §5.7 from an op demo to a model capability).  On a 2-D
+    dp x sp mesh pass ``batch_axis`` so the leading (batch) dim shards over
+    it instead of being all-gathered at the shard_map boundary.
     """
     prev = getattr(_ctx, "mesh", None)
-    _ctx.mesh = (mesh, axis_name)
+    _ctx.mesh = (mesh, axis_name, batch_axis)
     try:
         yield
     finally:
@@ -66,13 +69,18 @@ def _combine(left, right):
 
 def sequence_parallel_linear_scan(a: jnp.ndarray, b: jnp.ndarray, mesh: Mesh,
                                   axis_name: str = "seq",
-                                  backend: Optional[str] = None) -> jnp.ndarray:
+                                  backend: Optional[str] = None,
+                                  batch_axis: Optional[str] = None) -> jnp.ndarray:
     """h over axis -2 with (a, b) sharded on `axis_name` along axis -2.
 
-    Shapes (..., L, C); L must divide evenly over the mesh axis.
+    Shapes (..., L, C); L must divide evenly over the mesh axis.  With
+    ``batch_axis`` the leading dim additionally shards over that mesh axis
+    (dp x sp): the carry prefix only communicates over ``axis_name``, so the
+    batch dim stays embarrassingly parallel.
     """
     ndim = a.ndim
-    spec = P(*([None] * (ndim - 2) + [axis_name, None]))
+    lead = [batch_axis] + [None] * (ndim - 3) if ndim >= 3 else [None] * (ndim - 2)
+    spec = P(*(lead + [axis_name, None]))
 
     def local(a_blk, b_blk):
         h_local = linear_scan(a_blk, b_blk, backend)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["count_params", "cost_analysis", "selective_scan_flops", "measure_inference_speed",
-           "trace"]
+           "analytic_model_flops", "trace"]
 
 
 def count_params(params) -> int:
@@ -43,6 +43,86 @@ def selective_scan_flops(B: int, L: int, D: int, N: int = 1, with_D: bool = True
     if with_Z:
         flops += B * D * L * 3
     return flops
+
+
+def _prod(xs) -> int:
+    out = 1
+    for v in xs:
+        out *= int(v)
+    return out
+
+
+def _dot_general_flops(eqn) -> int:
+    (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+    lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
+    batch = _prod(lhs.shape[i] for i in lb)
+    contract = _prod(lhs.shape[i] for i in lc)
+    m = _prod(lhs.shape[i] for i in range(len(lhs.shape)) if i not in lc and i not in lb)
+    n = _prod(rhs.shape[i] for i in range(len(rhs.shape)) if i not in rc and i not in rb)
+    return 2 * batch * m * n * contract
+
+
+def _conv_flops(eqn) -> int:
+    out = eqn.outvars[0].aval
+    kern = eqn.invars[1].aval
+    dn = eqn.params["dimension_numbers"]
+    out_feat = out.shape[dn.out_spec[1]]
+    # per output element: prod(kernel dims)/out_channels MACs (covers groups:
+    # the kernel's input-feature dim is already Cin/feature_group_count)
+    macs_per_out = _prod(kern.shape) // kern.shape[dn.rhs_spec[0]]
+    return 2 * _prod(out.shape) * macs_per_out
+
+
+def _jaxpr_flops(jaxpr, mult: int = 1):
+    """(dot/conv flops, scan-handle flops) of a jaxpr, recursing into calls."""
+    dots = 0
+    scans = 0
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name == "dot_general":
+            dots += mult * _dot_general_flops(eqn)
+        elif name == "conv_general_dilated":
+            dots += mult * _conv_flops(eqn)
+        elif name == "scan":
+            length = int(eqn.params["length"])
+            body = eqn.params["jaxpr"].jaxpr
+            d, s = _jaxpr_flops(body, mult * length)
+            dots += d
+            scans += s
+            # the reference's analytic selective-scan handle, 9 flops per
+            # scanned element (csms6s.py:772-793): one lax.scan step carries
+            # h over (batch..., C) for L steps
+            n_carry = eqn.params["num_carry"]
+            carry_elems = sum(_prod(v.aval.shape) for v in eqn.outvars[:n_carry])
+            scans += mult * 9 * length * carry_elems
+        else:
+            for key in ("jaxpr", "call_jaxpr"):
+                sub = eqn.params.get(key) if eqn.params else None
+                if sub is not None:
+                    inner = sub.jaxpr if hasattr(sub, "jaxpr") else sub
+                    d, s = _jaxpr_flops(inner, mult)
+                    dots += d
+                    scans += s
+                    break
+            else:
+                if eqn.params and "branches" in eqn.params:
+                    d, s = _jaxpr_flops(eqn.params["branches"][0].jaxpr, mult)
+                    dots += d
+                    scans += s
+    return dots, scans
+
+
+def analytic_model_flops(fn: Callable, *args) -> dict:
+    """fvcore-style required-FLOP count: 2MNK for every dot_general/conv in
+    the traced program plus the reference's 9-flops/element selective-scan
+    handle for every lax.scan carry (csms6s.py:772-793).  Trace ``fn`` with
+    a COMPOSED model (ssm_backend='seq') so no work hides inside Pallas
+    custom calls; elementwise ops are excluded, matching fvcore's accounting.
+    """
+    jaxpr = jax.make_jaxpr(fn)(*args)
+    dots, scans = _jaxpr_flops(jaxpr.jaxpr)
+    return {"matmul_conv_flops": dots, "scan_handle_flops": scans,
+            "total_flops": dots + scans}
 
 
 def _sync(out):
