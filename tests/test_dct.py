@@ -55,6 +55,7 @@ def test_block_dct_matches_scipy():
     np.testing.assert_allclose(back, x, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_matches_reference_module():
     """Golden parity with the reference DCT2D torch module (CPU, read-only)."""
     import os

@@ -12,7 +12,8 @@ from tramba_tpu.models.pvt import PVTv2Encoder
 from tramba_tpu.models.resnet import ResNetEncoder
 from tramba_tpu.models.swin import SwinEncoder
 
-pytestmark = pytest.mark.skipif(not os.path.isdir("/root/reference"), reason="reference not mounted")
+pytestmark = [pytest.mark.slow,  # full tier only (see pytest.ini)
+              pytest.mark.skipif(not os.path.isdir("/root/reference"), reason="reference not mounted")]
 
 
 @pytest.fixture(scope="module")

@@ -11,6 +11,7 @@ from tramba_tpu.models.resnet import ResNetEncoder
 from tramba_tpu.models.swin import SwinEncoder
 
 
+@pytest.mark.slow
 def test_resnet_shapes():
     m = ResNetEncoder(layers=(1, 1, 1, 1))
     x = jnp.zeros((1, 64, 64, 3))
@@ -26,6 +27,7 @@ def test_resnet_shapes():
     assert "batch_stats" in vars_
 
 
+@pytest.mark.slow
 def test_resnet_train_mode_updates_stats():
     m = ResNetEncoder(layers=(1, 1, 1, 1))
     x = jnp.ones((2, 32, 32, 3))
@@ -34,6 +36,7 @@ def test_resnet_train_mode_updates_stats():
     assert "batch_stats" in updates
 
 
+@pytest.mark.slow
 def test_pvt_shapes():
     m = PVTv2Encoder(embed_dims=(8, 16, 32, 64), num_heads=(1, 2, 4, 8),
                      mlp_ratios=(2, 2, 2, 2), depths=(1, 1, 1, 1), sr_ratios=(8, 4, 2, 1))
@@ -48,6 +51,7 @@ def test_pvt_shapes():
     ]
 
 
+@pytest.mark.slow
 def test_swin_shapes():
     m = SwinEncoder(img_size=64, embed_dim=8, depths=(1, 1, 2, 1), num_heads=(1, 2, 4, 8), window=4)
     x = jnp.zeros((1, 64, 64, 3))
@@ -62,6 +66,7 @@ def test_swin_shapes():
     ]
 
 
+@pytest.mark.slow
 def test_swin_shifted_window_mask_changes_output():
     m = SwinEncoder(img_size=32, embed_dim=8, depths=(2, 1, 1, 1), num_heads=(1, 1, 1, 1), window=2)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 32, 32, 3)).astype(np.float32))

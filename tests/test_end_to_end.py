@@ -10,6 +10,9 @@ from PIL import Image
 import jax
 import jax.numpy as jnp
 
+# full tier only: big-model / parity / e2e (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_dataset(tmp_path_factory):

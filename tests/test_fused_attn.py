@@ -29,6 +29,7 @@ def test_fused_sra_matches_composed(nh, Lk):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_sra_grad_matches_composed():
     args = _sra_args(nh=2, Lk=16)
 

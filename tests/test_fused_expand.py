@@ -65,6 +65,7 @@ def test_final_head_matches_composed():
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_final_head_grad():
     from tramba_tpu.ops.fused_expand import composed_final_head, fused_final_head
 

@@ -91,6 +91,7 @@ def test_dwms_halo_chunking(row_chunk):
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dwms_hidden_chunking():
     """In-kernel hidden-dim chunking (VMEM bound) is numerically transparent."""
     args = _dwms_inputs(B=1, H=8, W=8, D=8, Hd=64, seed=6)
@@ -99,6 +100,7 @@ def test_dwms_hidden_chunking():
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dwms_grad_matches_composed():
     args = _dwms_inputs(B=1, H=8, W=8, D=8, Hd=16, seed=4)
 
@@ -114,6 +116,7 @@ def test_dwms_grad_matches_composed():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_block_fused_path_matches_composed():
     """VSSBlock / MultiScaleDecoderBlock with backend='pallas' (fused FFN,
     interpret mode) match backend='assoc' (composed modules) — same params."""
@@ -133,6 +136,7 @@ def test_block_fused_path_matches_composed():
                                    rtol=5e-4, atol=5e-4, err_msg=cls.__name__)
 
 
+@pytest.mark.slow
 def test_dwms_native_bwd_matches_composed():
     """The native adjoint kernel (halo recompute, in-VMEM weight grads)
     against the composed VJP — exercised via the force path (H % 6 == 0)."""
@@ -157,6 +161,7 @@ def test_dwms_native_bwd_matches_composed():
                                    err_msg=f"grad {i}")
 
 
+@pytest.mark.slow
 def test_dwms_native_bwd_halo_blocks():
     """Multi-row-block, multi-hidden-chunk run (Tr=6 over H=12 -> 2 blocks,
     Hd=256 -> 2 chunks): the 6-row halo recompute, the boundary clamp masks
@@ -186,6 +191,7 @@ def test_dwms_native_bwd_halo_blocks():
             atol=2e-4, err_msg=f"grad {i}")
 
 
+@pytest.mark.slow
 def test_dwms_grid_chunked_fwd_matches_composed():
     """The grid-chunked forward (_dwms_pallas2: hidden chunks on grid axis 2,
     fp32 scratch accumulator, resident x blocks) vs the composed oracle —
@@ -206,6 +212,7 @@ def test_dwms_grid_chunked_fwd_matches_composed():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_dwmlp_ragged_hidden_chunk():
     """PVTv2's conv-chain FFN at a hidden width the 512 chunk does NOT
     divide (stage 3 of PVT-b4: hidden 4*320=1280).  Regression: the chunk

@@ -68,6 +68,7 @@ def test_prologue_grad_matches_composed():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ss2d_prologue_path_matches_composed():
     """SS2D with backend='pallas' (fused prologue, interpret) == 'assoc'."""
     from tramba_tpu.nn.ssm import SS2D

@@ -19,6 +19,7 @@ def _inputs(B=2, K=4, L=300, D=16, R=3, seed=0):
     return [jnp.asarray(a) for a in (xs, wx, wdt, bias, A_logs, Ds)]
 
 
+@pytest.mark.slow
 def test_fused_matches_composed():
     args = _inputs()
     y_f = fused_ss2d_core(*args)  # interpret-mode pallas on CPU
@@ -26,6 +27,7 @@ def test_fused_matches_composed():
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_grad_is_composed_grad():
     args = _inputs(B=1, K=2, L=32, D=8, R=2, seed=1)
 
@@ -58,6 +60,7 @@ def _full_inputs(B=2, K=4, H=8, W=8, D=16, R=3, seed=2):
 
 @pytest.mark.parametrize("kind,K,H", [("raster", 4, 8), ("raster", 4, 12), ("line", 8, 8),
                                       ("line", 8, 12)])
+@pytest.mark.slow
 def test_folded_matches_composed(kind, K, H):
     from tramba_tpu.ops.fused_ss2d import composed_ss2d_full, fused_ss2d_full
 
@@ -67,6 +70,7 @@ def test_folded_matches_composed(kind, K, H):
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c), rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_folded_grad_matches_composed():
     from tramba_tpu.ops.fused_ss2d import composed_ss2d_full, fused_ss2d_full
 
@@ -108,6 +112,7 @@ def _grad_pair(loss_f, loss_c, args, n):
                                    err_msg=f"grad argnum {i}")
 
 
+@pytest.mark.slow
 def test_core_native_grad_multichunk():
     """Core-kernel backward across chunk boundaries (L > chunk)."""
     args = _inputs(B=2, K=3, L=520, D=8, R=2, seed=4)
@@ -123,6 +128,7 @@ def test_core_native_grad_multichunk():
 
 @pytest.mark.parametrize("kind,K,H", [("raster", 4, 8), ("raster", 4, 12), ("line", 8, 8),
                                       ("line", 8, 12)])
+@pytest.mark.slow
 def test_folded_native_grad(kind, K, H):
     from tramba_tpu.ops.fused_ss2d import composed_ss2d_full, fused_ss2d_full
 
@@ -139,6 +145,7 @@ def test_folded_native_grad(kind, K, H):
 
 @pytest.mark.parametrize("kind,param,H", [("dilation", 4, 8), ("dilation", 4, 12),
                                           ("window", 4, 8), ("window", 4, 12)])
+@pytest.mark.slow
 def test_folded_freq_native_grad(kind, param, H):
     from tramba_tpu.ops.fused_ss2d import composed_ss2d_full_p, fused_ss2d_freq
 
@@ -154,6 +161,7 @@ def test_folded_freq_native_grad(kind, param, H):
     _grad_pair(lf, lc, args, 9)
 
 
+@pytest.mark.slow
 def test_train_route_ab_equivalent(monkeypatch):
     """Both train-forward routings (two-phase paired vs materializing
     rows/cols+merge) give the same outputs and gradients."""

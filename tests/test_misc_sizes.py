@@ -8,6 +8,9 @@ import jax.numpy as jnp
 
 from tramba_tpu.ops import scan_orders as so
 
+# full tier only: big-model / parity / e2e (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def test_line_tables_odd_size_matches_reference():
     import os, sys

@@ -16,6 +16,9 @@ import pytest
 from tramba_tpu.models.tramba import TrambaV
 from tramba_tpu.train.loss import deep_supervision_loss
 
+# full tier only: big-model / parity / e2e (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def _grads(backend, x, gts):
     kw = dict(img_size=96, dims=8, enc_depths=(1, 1, 1, 1), dec_depths=(1, 1, 1, 1),

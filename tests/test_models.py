@@ -8,6 +8,9 @@ import pytest
 from tramba_tpu.models.tramba import TrambaDecoder, TrambaV, window_for_resolution
 from tramba_tpu.models.vssm_encoder import VSSMEncoder
 
+# full tier only: big-model / parity / e2e (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def test_window_lookup():
     assert [window_for_resolution(r) for r in (12, 24, 48, 96)] == [4, 8, 12, 16]

@@ -7,6 +7,11 @@ import numpy as np
 import __graft_entry__ as graft
 from tramba_tpu.parallel.mesh import data_sharding, make_mesh, shard_batch
 
+import pytest
+
+# full tier only: big-model / parity / e2e (see pytest.ini; core tier = -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def test_eight_virtual_devices():
     assert len(jax.devices()) == 8

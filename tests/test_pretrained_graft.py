@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 from tramba_tpu.train.loop import _graft_strict, _pretrained_encoder_variables
 
-pytestmark = pytest.mark.skipif(not os.path.isdir("/root/reference"), reason="reference not mounted")
+pytestmark = [pytest.mark.slow,  # full tier only (see pytest.ini)
+              pytest.mark.skipif(not os.path.isdir("/root/reference"), reason="reference not mounted")]
 
 
 # ---------------------------------------------------------------------------

@@ -46,6 +46,7 @@ def test_matches_sequential_oracle(backend, N):
     np.testing.assert_allclose(np.asarray(y), want, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_pallas_matches_assoc_long_sequence():
     # L spans two kernel chunks with a ragged tail; C spans two lane blocks (ragged)
     args = _rand_inputs(B=1, K=1, L=300, D=160, seed=3)
@@ -65,6 +66,7 @@ def test_linear_scan_simple():
 
 
 @pytest.mark.parametrize("backend", ["assoc", "pallas"])
+@pytest.mark.slow
 def test_vjp_matches_undecorated_autodiff(backend):
     """custom_vjp (reversed-scan adjoint) == autodiff through associative_scan."""
     args = [jnp.asarray(x) for x in _rand_inputs(B=1, K=1, L=16, D=4, seed=5)]

@@ -39,6 +39,7 @@ def _run(f, kw, H, W):
 
 
 @pytest.mark.parametrize("H,W", [(8, 8), (12, 8)])
+@pytest.mark.slow
 def test_small_matches_composed(H, W):
     kw, _, _ = _inputs(H=H, W=W)
     y_f = _run(fused_ss2d_small, kw, H, W)  # interpret-mode pallas on CPU
@@ -46,6 +47,7 @@ def test_small_matches_composed(H, W):
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_small_chunked_D():
     """D > 256 exercises the in-kernel D-chunked scan + streaming LN."""
     kw, H, W = _inputs(B=1, H=8, W=8, dm=16, D=512, seed=1)
@@ -54,6 +56,7 @@ def test_small_chunked_D():
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_small_bf16():
     kw, H, W = _inputs(seed=2, dtype=jnp.bfloat16)
     y_f = np.asarray(_run(fused_ss2d_small, kw, H, W).astype(np.float32))
@@ -61,6 +64,7 @@ def test_small_bf16():
     np.testing.assert_allclose(y_f, y_c, rtol=5e-2, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_small_grad():
     kw, H, W = _inputs(B=1, H=8, W=8, dm=8, D=16, seed=3)
     names = list(kw)

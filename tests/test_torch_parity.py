@@ -16,7 +16,8 @@ jnp = pytest.importorskip("jax.numpy")
 from tramba_tpu.compat.torch_weights import convert_tramba_v
 from tramba_tpu.models.tramba import TrambaV
 
-pytestmark = pytest.mark.skipif(not os.path.isdir("/root/reference"), reason="reference not mounted")
+pytestmark = [pytest.mark.slow,  # full tier only (see pytest.ini)
+              pytest.mark.skipif(not os.path.isdir("/root/reference"), reason="reference not mounted")]
 
 
 @pytest.fixture(scope="module")
