@@ -108,6 +108,40 @@ def main():
         for n, a, b in zip(("dx", "dwx"), gf, gc):
             ok &= _check(f"freq {kind} grad {n}", a, b, 5e-3)
 
+    # row-chunked dilation merge-fold (96px-class shape: whole map exceeds
+    # the single-block budget so the fold tiles Tr=32 rows — round 4)
+    from tramba_tpu.ops.fused_ss2d import _freq_merge_rows
+
+    Hs, Dd = 64, 160
+    assert _freq_merge_rows("dilation", Hs, Hs, Dd, 4, 4) == 32
+    fargs = _full_inputs(1, 4, Hs, Dd, 3, 9)
+    y_f = jax.jit(lambda *a: fused_ss2d_freq(*a, "dilation", Hs, Hs, 4))(*fargs)
+    y_c = jax.jit(lambda *a: composed_ss2d_full_p(*a, kind="dilation", H=Hs, W=Hs,
+                                                  param=4, backend="assoc"))(*fargs)
+    ok &= _check("freq dilation row-chunked fwd", y_f, y_c, 1e-3)
+
+    # smallmap megakernel SAVED-STATE backward (round 4): the train forward
+    # emits u / pre-LN sum / chunk carries and the adjoint runs the native
+    # chunked bwd kernels with NO forward recompute — lock grads on hardware
+    from tramba_tpu.ops.fused_ss2d_small import composed_ss2d_small, fused_ss2d_small
+
+    rng = np.random.default_rng(7)
+    Hs, dm, Dd = 16, 32, 64
+    arr = lambda *s, sc=0.2: jnp.asarray((rng.normal(size=s) * sc).astype(np.float32))
+    sargs = (arr(1, Hs * Hs, dm, sc=1.0), arr(dm, sc=0.1) + 1, arr(dm, sc=0.1),
+             arr(dm, Dd), arr(3, 3, 1, Dd, sc=0.3), arr(4, 5, Dd),
+             arr(4, Dd, 3, sc=0.3), arr(4, Dd), arr(4, Dd, 1, sc=0.3),
+             arr(4, Dd, sc=1.0), arr(Dd, sc=0.1) + 1, arr(Dd, sc=0.1), arr(Dd, dm))
+    ns = ("dx", "dln1s", "dln1b", "dwin", "dconv", "dwx", "dwdt", "dbias",
+          "dAlogs", "dDs", "dlns", "dlnb", "dwout")
+    gf = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.tanh(
+        fused_ss2d_small(*a, Hs, Hs))), argnums=tuple(range(13))))(*sargs)
+    gc = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.tanh(
+        composed_ss2d_small(a[0], (a[1], a[2]), *a[3:], Hs, Hs))),
+        argnums=tuple(range(13))))(*sargs)
+    for n, a, b in zip(ns, gf, gc):
+        ok &= _check(f"smallmap saved-bwd grad {n}", a, b, 5e-3)
+
     # per-block FFN megakernels + SS2D prologue
     from tramba_tpu.ops.fused_mlp import (
         composed_ln_dwmsmlp, composed_ln_mlp, fused_ln_dwmsmlp, fused_ln_mlp,

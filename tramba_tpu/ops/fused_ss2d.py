@@ -1286,6 +1286,8 @@ def _reduce_chunk(a, b, reverse):
     """Chunk total of the recurrence as a pairwise tree — O(T) work (the
     phase-1 pass must NOT pay the O(T log T) scan; vpu_probe.py shows the
     scan is the kernels' dominant compute).  Returns (A_prod, h_total)."""
+    if os.environ.get("TRAMBA_EMPTY_SCAN", "0") == "1":
+        return a[0:1], b[0:1]  # floor-measurement twin (see _scan_masked)
     T = a.shape[0]
     D = a.shape[-1]
     while T > 1 and T % 2 == 0:
@@ -1635,12 +1637,20 @@ def _freq_merge_kernel(eps, kind, prm, Tr, W, hi, a_ref, b_ref, s_ref, bi_ref,
     out_ref[0] = y.astype(out_ref.dtype)
 
 
-def _freq_merge_rows(kind, H, W, D, prm):
+def _freq_merge_rows(kind, H, W, D, prm, itemsize=2):
     if kind == "window":
         return prm  # one window band per step
-    # dilation: the transposed family's seq layout only tiles legally when the
-    # whole map is one block (Mosaic last-two-dims rule), so Tr == H
-    return H
+    # dilation: whole map when it fits the dtype-scaled budget (24/48px);
+    # otherwise row-chunked — the transposed family's block trailing dims are
+    # (Tr/r, D), so Mosaic's sublane rule needs Tr/r % 8 == 0 (at 96px r=4
+    # the only sub-H candidate is Tr=32, unlocked by the raised vmem limit)
+    r = prm
+    if H * W * D * itemsize <= 2_500_000:
+        return H
+    for tr in range(8 * r, H, 8 * r):
+        if H % tr == 0 and tr * W * D * itemsize <= 2_000_000:
+            return tr
+    return 0
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "H", "W", "prm", "interpret"))
@@ -1650,7 +1660,7 @@ def _freq_merge_pallas(sa, sb, ln_scale, ln_bias, w_out, kind: str, H: int, W: i
     the transposed map.  Emits (B, L, d_model) in pixel order."""
     B, L, D = sa.shape
     dm = w_out.shape[-1]
-    Tr = _freq_merge_rows(kind, H, W, D, prm)
+    Tr = _freq_merge_rows(kind, H, W, D, prm, jnp.dtype(sa.dtype).itemsize)
     nT = H // Tr
     if kind == "dilation":
         r = prm
@@ -1690,12 +1700,13 @@ def _freq_merge_ok(kind, H, W, D, prm, B=16, itemsize=2):
             return False
     if kind == "dilation":
         r = prm
-        # whole-map fold only (see _freq_merge_rows).  The dtype-scaled
-        # budget keeps the fp32 parity path within the DEFAULT 16 MB scoped
-        # vmem (external jits may not raise it); bf16 gets 2x the map, which
-        # needs utils/jit.tramba_jit's 32 MB limit at 48px.
+        # whole-map fold at 24/48px; row-chunked at 96px (round-4, under the
+        # raised vmem limit).  The dtype-scaled budgets keep the fp32 parity
+        # path within the DEFAULT 16 MB scoped vmem (external jits may not
+        # raise it); bf16 needs utils/jit.tramba_jit's 32 MB limit at 48px+.
         return (H % r == 0 and W % r == 0 and (H * W) % 8 == 0
-                and H * W * D * itemsize <= 2_500_000 and B <= 32)
+                and _freq_merge_rows(kind, H, W, D, r, itemsize) > 0
+                and B <= 32)
     ws = prm
     return H % ws == 0 and W % ws == 0 and (ws * ws) % 8 == 0
 

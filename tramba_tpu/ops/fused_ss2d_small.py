@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tramba_tpu.ops.fused_ss2d import _erf, _vcall
+from tramba_tpu.ops.fused_ss2d import _col_chunk, _erf, _row_chunk, _vcall
 
 __all__ = ["fused_ss2d_small", "smallmap_ok"]
 
@@ -75,7 +75,7 @@ def _scan_full(a, b, reverse):
     return hp
 
 
-def _small_kernel(R, H, W, has_pro, has_ln, hi, *refs):
+def _small_kernel(R, H, W, has_pro, has_ln, hi, emit, *refs):
     it = iter(refs)
     x_ref = next(it)
     if has_pro:
@@ -84,6 +84,12 @@ def _small_kernel(R, H, W, has_pro, has_ln, hi, *refs):
         w_in_ref, convk_ref = next(it), next(it)
     wx_ref, wdt_ref, bias_ref, A_ref, Ds_ref = (next(it) for _ in range(5))
     s2_ref, b2_ref, wout_ref, out_ref = (next(it) for _ in range(4))
+    if emit:
+        # train forward: also emit the scan input u (post-SiLU), the pre-LN
+        # direction sum, and the chunk-entry carries in exactly the layout
+        # the chunked native backward kernels (_rows/_cols_bwd_pallas)
+        # consume — the backward then skips the full forward recompute
+        u_ref, ysum_ref, c02_ref, c13_ref = (next(it) for _ in range(4))
     prec = jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT
     f32 = jnp.float32
     L = H * W
@@ -123,6 +129,9 @@ def _small_kernel(R, H, W, has_pro, has_ln, hi, *refs):
         D = x.shape[-1]
         Dc = _d_chunk(D)
 
+    if emit:
+        u_ref[0] = x.astype(u_ref.dtype)
+
     xT = jnp.swapaxes(x.reshape(H, W, D), 0, 1).reshape(L, D)  # w-major view
 
     # per-direction Δ/B/C projections: full-D contractions, tiny outputs
@@ -138,6 +147,11 @@ def _small_kernel(R, H, W, has_pro, has_ln, hi, *refs):
     # limit set by utils/jit.tramba_jit; ~20 MB stack at stage-3 shapes)
     ln_sum = jnp.zeros((L, 1), f32)
     ln_sq = jnp.zeros((L, 1), f32)
+    if emit:
+        # chunk lengths of the native backward's visiting grid
+        T02 = _row_chunk(H, W, D) * W
+        T13 = _col_chunk(W, H, D) * H
+        n02, n13 = L // T02, L // T13
     chunks = []
     for c0 in range(0, D, Dc):
         yc = jnp.zeros((L, Dc), f32)   # pixel-order directions (0, 2)
@@ -151,12 +165,26 @@ def _small_kernel(R, H, W, has_pro, has_ln, hi, *refs):
             a = jnp.exp(delta * A_ref[k, 0, c0 : c0 + Dc].astype(f32))
             b = delta * sc * dbc[k][:, R : R + 1]
             h = _scan_full(a, b, rev)
+            if emit:
+                # chunk-entry carries: the recurrence state entering each of
+                # the backward kernels' chunks, sliced from the whole-map h
+                T, nT = (T02, n02) if k in (0, 2) else (T13, n13)
+                cref = c02_ref if k in (0, 2) else c13_ref
+                fam = 0 if not rev else 1
+                z = jnp.zeros((1, h.shape[-1]), f32)
+                if not rev:  # entering chunk j from below: h at j*T - 1
+                    rows = [z] + [h[j * T - 1 : j * T] for j in range(1, nT)]
+                else:  # reversed scan, entering chunk j from above: h at (j+1)*T
+                    rows = [h[(j + 1) * T : (j + 1) * T + 1] for j in range(nT - 1)] + [z]
+                cref[0, fam, :, 0, c0 : c0 + Dc] = jnp.concatenate(rows, axis=0)
             yk = h * dbc[k][:, R + 1 : R + 2] + sc * Ds_ref[k, 0, c0 : c0 + Dc].astype(f32)
             if k in (1, 3):  # accumulate in w-major; one untranspose per chunk
                 ycT = ycT + yk
             else:
                 yc = yc + yk
         yc = yc + jnp.swapaxes(ycT.reshape(W, H, Dc), 0, 1).reshape(L, Dc)
+        if emit:
+            ysum_ref[0, :, c0 : c0 + Dc] = yc.astype(ysum_ref.dtype)
         ln_sum = ln_sum + jnp.sum(yc, axis=-1, keepdims=True)
         ln_sq = ln_sq + jnp.sum(yc * yc, axis=-1, keepdims=True)
         chunks.append(yc.astype(cd) if cd != f32 else yc)
@@ -174,9 +202,10 @@ def _small_kernel(R, H, W, has_pro, has_ln, hi, *refs):
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
+@functools.partial(jax.jit, static_argnames=("H", "W", "interpret", "emit_train"))
 def _small_pallas(x, ln1, w_in, conv_k, x_proj_w, dt_w, dt_b, A_logs, Ds,
-                  ln_scale, ln_bias, w_out, H: int, W: int, interpret=False):
+                  ln_scale, ln_bias, w_out, H: int, W: int, interpret=False,
+                  emit_train=False):
     B, L, dm_or_d = x.shape
     has_pro = w_in is not None
     has_ln = ln1[0] is not None  # ln1 is the (scale, bias) tuple itself
@@ -201,14 +230,31 @@ def _small_pallas(x, ln1, w_in, conv_k, x_proj_w, dt_w, dt_b, A_logs, Ds,
     args += [x_proj_w.astype(f32), dt_w.astype(f32), dt_b.astype(f32)[:, None],
              A[:, None], Ds.astype(f32)[:, None],
              ln_scale.astype(f32)[None], ln_bias.astype(f32)[None], w_out.astype(cd)]
-    return _vcall(
-        functools.partial(_small_kernel, R, H, W, has_pro, has_ln, cd == jnp.float32),
-        out_shape=jax.ShapeDtypeStruct((B, L, dm), cd),
+    bspec = lambda *s: pl.BlockSpec((1,) + s, lambda b: (b,) + (0,) * len(s),
+                                    memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((B, L, dm), cd)]
+    out_specs = [bspec(L, dm)]
+    if emit_train:
+        n02 = H // _row_chunk(H, W, D)
+        n13 = W // _col_chunk(W, H, D)
+        out_shape += [
+            jax.ShapeDtypeStruct((B, L, D), cd),                # u (post-SiLU)
+            jax.ShapeDtypeStruct((B, L, D), cd),                # pre-LN sum
+            jax.ShapeDtypeStruct((B, 2, n02, 1, D), jnp.float32),  # rows carries
+            jax.ShapeDtypeStruct((B, 2, n13, 1, D), jnp.float32),  # cols carries
+        ]
+        out_specs += [bspec(L, D), bspec(L, D), bspec(2, n02, 1, D),
+                      bspec(2, n13, 1, D)]
+    res = _vcall(
+        functools.partial(_small_kernel, R, H, W, has_pro, has_ln,
+                          cd == jnp.float32, emit_train),
+        out_shape=out_shape,
         grid=(B,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, L, dm), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         interpret=interpret,
     )(*args)
+    return tuple(res) if emit_train else res[0]
 
 
 def _lgp_kernel(hi, y_ref, s_ref, b_ref, w_ref, out_ref):
@@ -276,17 +322,33 @@ def fused_ss2d_small(x, ln1_s, ln1_b, w_in, conv_k, x_proj_w, dt_w, dt_b, A_logs
                          A_logs, Ds, ln_scale, ln_bias, w_out, H, W, interpret=interp)
 
 
+def _saved_bwd() -> bool:
+    """Saved-state adjoint routing (default on): the train forward emits u /
+    pre-LN sum / chunk carries from the megakernel, so the backward runs ONLY
+    the native adjoint kernels + the prologue VJP — no forward recompute.
+    TRAMBA_SMALL_SAVED_BWD=0 falls back to the round-3 full-recompute path
+    (megakernel fwd, then prologue + two-phase train fwd inside the bwd)."""
+    return os.environ.get("TRAMBA_SMALL_SAVED_BWD", "1") != "0"
+
+
 def _small_fwd(x, ln1_s, ln1_b, w_in, conv_k, x_proj_w, dt_w, dt_b, A_logs, Ds,
                ln_scale, ln_bias, w_out, H, W):
-    out = fused_ss2d_small(x, ln1_s, ln1_b, w_in, conv_k, x_proj_w, dt_w, dt_b,
-                           A_logs, Ds, ln_scale, ln_bias, w_out, H, W)
+    if not _saved_bwd():
+        out = fused_ss2d_small(x, ln1_s, ln1_b, w_in, conv_k, x_proj_w, dt_w,
+                               dt_b, A_logs, Ds, ln_scale, ln_bias, w_out, H, W)
+        return out, (x, ln1_s, ln1_b, w_in, conv_k, x_proj_w, dt_w, dt_b,
+                     A_logs, Ds, ln_scale, ln_bias, w_out, None)
+    interp = jax.default_backend() != "tpu"
+    out, u, ysum, c02, c13 = _small_pallas(
+        x, (ln1_s, ln1_b), w_in, conv_k, x_proj_w, dt_w, dt_b, A_logs, Ds,
+        ln_scale, ln_bias, w_out, H, W, interpret=interp, emit_train=True)
     return out, (x, ln1_s, ln1_b, w_in, conv_k, x_proj_w, dt_w, dt_b, A_logs, Ds,
-                 ln_scale, ln_bias, w_out)
+                 ln_scale, ln_bias, w_out, (u, ysum, c02, c13))
 
 
-def _small_bwd(H, W, res, g):
-    # recompute path for the adjoint: fused prologue (composed VJP) feeding
-    # the chunked folded core, whose VJP is the NATIVE fused backward
+def _small_bwd_recompute(H, W, res, g):
+    # round-3 path: fused prologue (composed VJP) feeding the chunked folded
+    # core, whose VJP is the native fused backward — re-pays a full forward
     from tramba_tpu.ops.fused_prologue import fused_prologue
     from tramba_tpu.ops.fused_ss2d import fused_ss2d_full
 
@@ -299,6 +361,85 @@ def _small_bwd(H, W, res, g):
 
     _, vjp = jax.vjp(f, *res)
     return vjp(g)
+
+
+def _small_bwd(H, W, res, g):
+    saved = res[-1]
+    if saved is None:
+        return _small_bwd_recompute(H, W, res[:-1], g)
+    (x, ln1_s, ln1_b, w_in, conv_k, x_proj_w, dt_w, dt_b, A_logs, Ds,
+     ln_scale, ln_bias, w_out, _) = res
+    u, ysum, c02, c13 = saved
+    from tramba_tpu.ops.fused_prologue import composed_prologue
+    from tramba_tpu.ops.fused_ss2d import (
+        _assemble_wx, _cols_bwd_pallas, _ln_gelu_proj, _rows_bwd_pallas,
+    )
+
+    B, L, D = u.shape
+    f32 = jnp.float32
+    interp = jax.default_backend() != "tpu"
+    A = -jnp.exp(A_logs.astype(f32))[..., 0]
+    wx, wdt = x_proj_w.astype(f32), dt_w.astype(f32)
+    bias, Dsf = dt_b.astype(f32), Ds.astype(f32)
+
+    # LN + GELU + out-proj adjoint over the saved pre-LN sum
+    _, vjp_ln = jax.vjp(
+        lambda y, s, b, w: _ln_gelu_proj(y, s, b, w, x.dtype),
+        ysum, ln_scale, ln_bias, w_out)
+    gy, d_ln_scale, d_ln_bias, d_w_out = vjp_ln(g)
+    uimg = u.reshape(B, H, W, D)
+    gimg = gy.reshape(B, H, W, D)
+
+    rows_sel = jnp.asarray([0, 2])
+    cols_sel = jnp.asarray([1, 3])
+    dx02, p02 = _rows_bwd_pallas(uimg, gimg, c02, wx[rows_sel], wdt[rows_sel],
+                                 bias[rows_sel], A[rows_sel], Dsf[rows_sel],
+                                 interpret=interp)
+    dx13, p13 = _cols_bwd_pallas(uimg, gimg, c13, wx[cols_sel], wdt[cols_sel],
+                                 bias[cols_sel], A[cols_sel], Dsf[cols_sel],
+                                 interpret=interp)
+    du = dx02.sum(1).reshape(B, H, W, D)
+    du = du + dx13.sum(1).transpose(0, 2, 1, 3, 4).reshape(B, H, W, D)
+
+    r02 = [p.sum(0) for p in p02]
+    r13 = [p.sum(0) for p in p13]
+    ilv = lambda a, b: jnp.stack([a[0], b[0], a[1], b[1]], axis=0)  # K order
+    dwx = ilv(_assemble_wx(r02), _assemble_wx(r13))
+    dwdt = ilv(r02[3], r13[3])
+    dbias = ilv(r02[4][:, 0], r13[4][:, 0])
+    dA = ilv(r02[5][:, 0], r13[5][:, 0])
+    dDs = ilv(r02[6][:, 0], r13[6][:, 0])
+
+    # prologue adjoint (composed VJP from the narrow input — its own forward
+    # is cheap at these maps and XLA dead-code-eliminates the unused primal)
+    ximg = x.reshape(B, H, W, -1)
+    if w_in is not None:
+        du = du.astype(x.dtype)
+        if ln1_s is not None:
+            _, vjp_pro = jax.vjp(composed_prologue, ximg, ln1_s, ln1_b,
+                                 w_in, conv_k)
+            dx, d_ln1s, d_ln1b, d_win, d_conv = vjp_pro(du)
+        else:
+            _, vjp_pro = jax.vjp(
+                lambda a, w, k: composed_prologue(a, None, None, w, k),
+                ximg, w_in, conv_k)
+            dx, d_win, d_conv = vjp_pro(du)
+            d_ln1s = d_ln1b = None
+    else:
+        dx, d_win, d_conv, d_ln1s, d_ln1b = du, None, None, None, None
+
+    return (
+        dx.reshape(B, L, -1).astype(x.dtype),
+        d_ln1s, d_ln1b, d_win, d_conv,
+        dwx.astype(x_proj_w.dtype),
+        dwdt.astype(dt_w.dtype),
+        dbias.astype(dt_b.dtype),
+        ((dA * A)[..., None]).astype(A_logs.dtype),
+        dDs.astype(Ds.dtype),
+        d_ln_scale,
+        d_ln_bias,
+        d_w_out,
+    )
 
 
 fused_ss2d_small.defvjp(_small_fwd, _small_bwd)

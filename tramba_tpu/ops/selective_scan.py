@@ -26,6 +26,7 @@ sequence on sublanes, scanned in chunks.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -79,7 +80,16 @@ def _scan_masked(a, b, seg, reverse):
     kernel shapes in a same-process interleaved A/B (scripts/seg_ab.py),
     i.e. the fused kernels are not scan-VPU-bound.  Smaller chunk lengths
     (fewer passes, TRAMBA_SEQ_BUDGET knob) also measured slower (153.5 vs
-    149.6 ms full-model).  This plain masked scan IS the fast spelling."""
+    149.6 ms full-model).  This plain masked scan IS the fast spelling.
+
+    TRAMBA_EMPTY_SCAN=1 (trace-time, floor-measurement only): skip the scan
+    passes and return (a, b) unchanged — every fused kernel then becomes its
+    own "empty-scan twin" with identical HBM I/O, projections, MXU matmuls
+    and transposes, so `scripts/seg_ab.py --knob TRAMBA_EMPTY_SCAN` measures
+    each live kernel's non-scan floor directly (VERDICT r3 next-1).  Outputs
+    are numerically meaningless under the knob."""
+    if os.environ.get("TRAMBA_EMPTY_SCAN", "0") == "1":
+        return a, b
     T = a.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
     s = 1
