@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--dims", type=int, default=128)
+    ap.add_argument("--mu_dtype", default=None,
+                    help="Adam first-moment storage dtype (e.g. bfloat16)")
+    ap.add_argument("--ab_mu", action="store_true",
+                    help="interleaved in-process A/B: fp32-mu vs bf16-mu Adam")
     args = ap.parse_args()
     enable_compilation_cache()
 
@@ -43,10 +47,45 @@ def main():
                       .astype(np.float32))
     t0 = time.time()
     variables = jax.jit(lambda k: model.init(k, x))(jax.random.key(0))
-    tx = make_optimizer(1e-4, [60], [0.2], 100)
+    rng = jax.random.key(1026)
+
+    if args.ab_mu:
+        # interleaved same-process A/B (chip weather shared): fp32 vs bf16
+        # first-moment Adam.  Same jitted step fn; the mu-dtype difference
+        # in the state pytree keys two separate executables.
+        step = make_train_step()
+        states, res = {}, {}
+        for name, mu in (("fp32_mu", None), ("bf16_mu", "bfloat16")):
+            tx = make_optimizer(1e-4, [60], [0.2], 100, mu_dtype=mu)
+            states[name] = create_train_state(model, variables, tx)
+            tc = time.time()
+            states[name], m = step(states[name], x, gts, rng)
+            print(f"{name}: compile+first {time.time() - tc:.1f}s, "
+                  f"loss {float(m['loss']):.4f}", flush=True)
+        for rnd in range(3):
+            for name in (("fp32_mu", "bf16_mu") if rnd % 2 == 0
+                         else ("bf16_mu", "fp32_mu")):
+                s, m = step(states[name], x, gts, rng)  # warm
+                float(m["loss"])
+                t1 = time.perf_counter()
+                for _ in range(args.iters):
+                    s, m = step(s, x, gts, rng)
+                fin = res.setdefault("loss", {})
+                fin[name] = float(m["loss"])
+                res.setdefault(name, []).append(
+                    (time.perf_counter() - t1) / args.iters * 1e3)
+                states[name] = s
+        for name in ("fp32_mu", "bf16_mu"):
+            v = res[name]
+            print(f"{name}: {sorted(v)[1]:.1f} ms/step (samples "
+                  f"{['%.1f' % t for t in sorted(v)]}), "
+                  f"final loss {res['loss'][name]:.4f}")
+        return
+
+    tx = make_optimizer(1e-4, [60], [0.2], 100,
+                        mu_dtype=args.mu_dtype)
     state = create_train_state(model, variables, tx)
     step = make_train_step()
-    rng = jax.random.key(1026)
 
     state, m = step(state, x, gts, rng)
     loss0 = float(m["loss"])

@@ -57,11 +57,16 @@ def make_optimizer(
     steps_per_epoch: int = 1,
     encoder_lr_scale: float = 0.1,
     params=None,
+    mu_dtype=None,
 ):
+    """``mu_dtype``: storage dtype for Adam's first moment (e.g. 'bfloat16'
+    halves that state's HBM read+write in the update pass; the second moment
+    stays fp32 — its rsqrt is the numerically sensitive half)."""
     sched = step_decay_schedule(base_lr, decay_epochs, decay_rate, steps_per_epoch)
     enc_sched = step_decay_schedule(base_lr * encoder_lr_scale, decay_epochs, decay_rate, steps_per_epoch)
     tx = optax.multi_transform(
-        {"encoder": optax.adam(enc_sched), "rest": optax.adam(sched)},
+        {"encoder": optax.adam(enc_sched, mu_dtype=mu_dtype),
+         "rest": optax.adam(sched, mu_dtype=mu_dtype)},
         encoder_label_fn,
     )
     return tx
