@@ -68,6 +68,9 @@ if __name__ == "__main__":
     parser.add_argument("--best_MAE", default=None, type=float)
     parser.add_argument("--dtype", default="float32", type=str,
                         help="compute dtype: float32 | bfloat16")
+    parser.add_argument("--mu_dtype", default="bfloat16", type=str,
+                        help="Adam first-moment storage dtype (bfloat16 halves "
+                             "that state's HBM traffic; float32 = reference-exact)")
 
     args = parser.parse_args()
     assert args.method is not None

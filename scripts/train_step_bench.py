@@ -57,7 +57,11 @@ def main():
         states, res = {}, {}
         for name, mu in (("fp32_mu", None), ("bf16_mu", "bfloat16")):
             tx = make_optimizer(1e-4, [60], [0.2], 100, mu_dtype=mu)
-            states[name] = create_train_state(model, variables, tx)
+            # each arm gets its OWN param buffers: the donating step frees
+            # its input state, so sharing `variables` across arms is a
+            # use-after-donate (backend InvalidArgument on arm 2)
+            states[name] = create_train_state(
+                model, jax.tree.map(jnp.copy, variables), tx)
             tc = time.time()
             states[name], m = step(states[name], x, gts, rng)
             print(f"{name}: compile+first {time.time() - tc:.1f}s, "

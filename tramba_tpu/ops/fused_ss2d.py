@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tramba_tpu.ops.selective_scan import _scan_masked, _vcall, linear_scan
+from tramba_tpu.ops.selective_scan import (_scan_masked, _vcall, linear_scan,
+                                            scan_rec_log)
 
 __all__ = ["fused_ss2d_core", "composed_ss2d_core"]
 
@@ -83,10 +84,10 @@ def _fused_kernel(R, hi, emit, *refs):
         preferred_element_type=jnp.float32, precision=prec,
     )  # (T, D)
     delta = jax.nn.softplus(dt + bias_ref[0].astype(jnp.float32))  # (T,D)+(1,D)
-    a = jnp.exp(delta * A_ref[0].astype(jnp.float32))
+    la = delta * A_ref[0].astype(jnp.float32)
     b = delta * x * dbc[:, R : R + 1]
 
-    a, b = _scan_masked(a, b, T, reverse=False)
+    a, b = scan_rec_log(la, b, T, reverse=False)
     h = a * carry[...] + b
     carry[...] = h[T - 1 :, :]
     y = h * dbc[:, R + 1 : R + 2] + x * Ds_ref[0].astype(jnp.float32)
@@ -214,10 +215,12 @@ fused_ss2d_core.defvjp(_fwd, _bwd)
 # ---------------------------------------------------------------------------
 
 
-def _scan_chunk(a, b, reverse):
-    """In-chunk scan; returns (A_cum, h_partial) for carry combine.  Every
-    caller tiles with exact divisors (no ragged padding)."""
-    return _scan_masked(a, b, a.shape[0], reverse)
+def _scan_chunk_log(la, b, reverse):
+    """In-chunk scan from LOG-domain decay (la = delta*A, pre-exp); returns
+    (A_cum, h_partial) for carry combine.  Every caller tiles with exact
+    divisors (no ragged padding).  Dispatches to the MXU-chunked spelling
+    (selective_scan.scan_rec_log) when the shape allows."""
+    return scan_rec_log(la, b, la.shape[0], reverse)
 
 
 def _dirs_kernel(R, transposed, hi, emit, *refs):
@@ -251,20 +254,20 @@ def _dirs_kernel(R, transposed, hi, emit, *refs):
     dt = jax.lax.dot_general(dbc[:, :R], wdt, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32, precision=prec)
     delta = jax.nn.softplus(dt + bias_ref[0].astype(jnp.float32))
-    a = jnp.exp(delta * A_ref[0].astype(jnp.float32))
+    la = delta * A_ref[0].astype(jnp.float32)
     b = delta * x * dbc[:, R : R + 1]
 
     def fwd(ab):
-        A_cum, hp = _scan_chunk(ab[0], ab[1], reverse=False)
+        A_cum, hp = _scan_chunk_log(ab[0], ab[1], reverse=False)
         h = A_cum * carry[...] + hp
         return h, h[T - 1 :, :]
 
     def bwd(ab):
-        A_cum, hp = _scan_chunk(ab[0], ab[1], reverse=True)
+        A_cum, hp = _scan_chunk_log(ab[0], ab[1], reverse=True)
         h = A_cum * carry[...] + hp
         return h, h[0:1, :]
 
-    h, new_carry = jax.lax.cond(k == 0, fwd, bwd, (a, b))
+    h, new_carry = jax.lax.cond(k == 0, fwd, bwd, (la, b))
     carry[...] = new_carry
     y = h * dbc[:, R + 1 : R + 2] + x * Ds_ref[0].astype(jnp.float32)
     if transposed:
@@ -544,25 +547,26 @@ def _bwd_chunk_math(R, prec, k_is_fwd, x, g, carry_fwd, lam_in, wx, wdt, bias, A
     dt_pre = dot(dts, wdt, ((1,), (1,))) + bias
     delta = jax.nn.softplus(dt_pre)
     sig = jax.nn.sigmoid(dt_pre)
-    a = jnp.exp(delta * A)
+    la = delta * A  # log-domain decay; a itself is still needed for daA
+    a = jnp.exp(la)
     b = delta * x * Bc
     gh = g * Cc
 
     def fwd_dir(_):
-        Ac, hp = _scan_chunk(a, b, reverse=False)
+        Ac, hp = _scan_chunk_log(la, b, reverse=False)
         h = Ac * carry_fwd + hp
         h_prev = _shift_down(h, carry_fwd)
-        a_sh = _shift_up(a, 1.0)
-        Ar, lp = _scan_chunk(a_sh, gh, reverse=True)
+        la_sh = _shift_up(la, 0.0)
+        Ar, lp = _scan_chunk_log(la_sh, gh, reverse=True)
         lam = lp + Ar * lam_in
         return h, h_prev, lam, a[0:1] * lam[0:1]
 
     def rev_dir(_):
-        Ac, hp = _scan_chunk(a, b, reverse=True)
+        Ac, hp = _scan_chunk_log(la, b, reverse=True)
         h = Ac * carry_fwd + hp
         h_prev = _shift_up(h, carry_fwd)
-        a_sh = _shift_down(a, 1.0)
-        Ar, lp = _scan_chunk(a_sh, gh, reverse=False)
+        la_sh = _shift_down(la, 0.0)
+        Ar, lp = _scan_chunk_log(la_sh, gh, reverse=False)
         lam = lp + Ar * lam_in
         return h, h_prev, lam, a[T - 1 :] * lam[T - 1 :]
 
@@ -798,11 +802,11 @@ def _seq_bwd_pallas(xs3, g3, carries, wx, wdt, bias, A, Ds, K: int, R: int,
 # ---------------------------------------------------------------------------
 
 
-def _scan_chunk_lines(a, b, Hline):
-    """Per-line suffix scan: A_cum[p] = prod_{q>=p in line} a[q]; hp[p] the
-    matching suffix recurrence sum.  Lines are contiguous rows of length
-    ``Hline`` (chunk length is a multiple of it)."""
-    return _scan_masked(a, b, Hline, reverse=True)
+def _scan_lines_log(la, b, Hline):
+    """Per-line suffix scan from LOG-domain decay: A_cum[p] = prod_{q>=p in
+    line} a[q]; hp[p] the matching suffix recurrence sum.  Lines are
+    contiguous rows of length ``Hline`` (chunk length is a multiple of it)."""
+    return scan_rec_log(la, b, Hline, reverse=True)
 
 
 def _line_pair_kernel(R, Hline, hi, x_ref, wxe_ref, wxo_ref, wdte_ref, wdto_ref,
@@ -827,20 +831,20 @@ def _line_pair_kernel(R, Hline, hi, x_ref, wxe_ref, wxo_ref, wdte_ref, wdto_ref,
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32, precision=prec)
         delta = jax.nn.softplus(dt + bias_ref[0].astype(jnp.float32))
-        a = jnp.exp(delta * A_ref[0].astype(jnp.float32))
+        la = delta * A_ref[0].astype(jnp.float32)
         b = delta * x * dbc[:, R : R + 1]
-        return dbc, a, b
+        return dbc, la, b
 
     # even direction: continuous forward scan across the whole sequence
-    dbc_e, a_e, b_e = proj(wxe_ref, wdte_ref, be_ref, Ae_ref)
-    A_cum, hp = _scan_chunk(a_e, b_e, reverse=False)
+    dbc_e, la_e, b_e = proj(wxe_ref, wdte_ref, be_ref, Ae_ref)
+    A_cum, hp = _scan_chunk_log(la_e, b_e, reverse=False)
     h_e = A_cum * carry_e[...] + hp
     carry_e[...] = h_e[T - 1 :, :]
 
     # odd direction: per-line reversed scan, carry chaining forward through
     # lines (the flipped sequence visits lines in order, pixels reversed)
-    dbc_o, a_o, b_o = proj(wxo_ref, wdto_ref, bo_ref, Ao_ref)
-    A_ln, hp_ln = _scan_chunk_lines(a_o, b_o, Hline)
+    dbc_o, la_o, b_o = proj(wxo_ref, wdto_ref, bo_ref, Ao_ref)
+    A_ln, hp_ln = _scan_lines_log(la_o, b_o, Hline)
     c = carry_o[...]  # (1, D)
     segs = []
     for m in range(T // Hline):
@@ -1277,9 +1281,9 @@ def _proj_ab(x, wx, wdt, bias, A, R, prec):
     dt = jax.lax.dot_general(dbc[:, :R], wdt.astype(f32), (((1,), (1,)), ((), ())),
                              preferred_element_type=f32, precision=prec)
     delta = jax.nn.softplus(dt + bias.astype(f32))
-    a = jnp.exp(delta * A.astype(f32))
+    la = delta * A.astype(f32)  # LOG-domain decay; scan entries exp() as needed
     b = delta * x * dbc[:, R : R + 1]
-    return dbc, a, b
+    return dbc, la, b
 
 
 def _reduce_chunk(a, b, reverse):
@@ -1320,10 +1324,10 @@ def _pair_phase1_kernel(R, transposed, hi, x_ref, wx_ref, wdt_ref, bias_ref, A_r
         blk = jnp.swapaxes(blk, 0, 1)
     T = blk.shape[0] * blk.shape[1]
     x = blk.reshape(T, -1).astype(jnp.float32)
-    _, a_e, b_e = _proj_ab(x, wx_ref[0], wdt_ref[0], bias_ref[0], A_ref[0], R, prec)
-    Ae, he = _reduce_chunk(a_e, b_e, reverse=False)
-    _, a_o, b_o = _proj_ab(x, wx_ref[1], wdt_ref[1], bias_ref[1], A_ref[1], R, prec)
-    Ao, ho = _reduce_chunk(a_o, b_o, reverse=True)
+    _, la_e, b_e = _proj_ab(x, wx_ref[0], wdt_ref[0], bias_ref[0], A_ref[0], R, prec)
+    Ae, he = _reduce_chunk(jnp.exp(la_e), b_e, reverse=False)
+    _, la_o, b_o = _proj_ab(x, wx_ref[1], wdt_ref[1], bias_ref[1], A_ref[1], R, prec)
+    Ao, ho = _reduce_chunk(jnp.exp(la_o), b_o, reverse=True)
     out_ref[0, 0, 0, 0] = Ae[0]
     out_ref[0, 0, 0, 1] = he[0]
     out_ref[0, 0, 1, 0] = Ao[0]
@@ -1391,8 +1395,8 @@ def _pair_phase2_kernel(R, transposed, hi, emit_merge, has_line, emit_ysum,
     x = blk.reshape(T, -1).astype(f32)
     y = None
     for d, rev in ((0, False), (1, True)):
-        dbc, a, b = _proj_ab(x, wx_ref[d], wdt_ref[d], bias_ref[d], A_ref[d], R, prec)
-        A_cum, hp = _scan_chunk(a, b, reverse=rev)
+        dbc, la, b = _proj_ab(x, wx_ref[d], wdt_ref[d], bias_ref[d], A_ref[d], R, prec)
+        A_cum, hp = _scan_chunk_log(la, b, reverse=rev)
         h = A_cum * c_ref[0, d, 0, 0].astype(f32) + hp
         yk = h * dbc[:, R + 1 : R + 2] + x * Ds_ref[d].astype(f32)
         y = yk if y is None else y + yk

@@ -58,20 +58,21 @@ def _d_chunk(D: int) -> int:
     return D if D <= 256 else 256
 
 
-def _scan_full(a, b, reverse):
-    """Full-length scan over axis 0 (no carry — whole sequence).
+def _scan_full_log(la, b, reverse):
+    """Full-length scan over axis 0 from LOG-domain decay (no carry — whole
+    sequence); dispatches to the MXU-chunked spelling when the shape allows.
 
-    Round-3 negative result (the third and decisive one on scan spelling):
-    a segmented spelling — log2(72) masked passes within vreg-aligned
-    72-row segments + a short serial carry chain — measures 1.3-1.6x the
-    flat whole-length scan in an ISOLATED pallas kernel at L=576, yet is
-    EXACTLY neutral (ratio 1.00, scripts/seg_ab.py) inside the real
-    megakernel at every live shape.  Mosaic overlaps the scan's VPU passes
-    with the kernel's MXU/transpose work, so reducing scan ops does not
-    shorten the kernel's critical path.  The flat spelling stays."""
-    from tramba_tpu.ops.selective_scan import _scan_masked
+    Round-3 negative result (kept for the ledger): a segmented masked-roll
+    spelling — log2(72) passes within vreg-aligned 72-row segments + a short
+    serial carry chain — measured 1.3-1.6x the flat scan in an ISOLATED
+    kernel yet EXACTLY neutral inside the megakernel.  Round-4 CORRECTION:
+    the empty-scan twins (docs/PERF.md 2.5) showed the scan still costs ~38%
+    of every fused kernel — the serial VPU *latency* (not pass count) is
+    what cannot be hidden, which is why pass-halving measured neutral while
+    the MXU-chunked spelling (selective_scan._scan_mxu_log) is not."""
+    from tramba_tpu.ops.selective_scan import scan_rec_log
 
-    _, hp = _scan_masked(a, b, a.shape[0], reverse)
+    _, hp = scan_rec_log(la, b, la.shape[0], reverse)
     return hp
 
 
@@ -162,9 +163,9 @@ def _small_kernel(R, H, W, has_pro, has_ln, hi, emit, *refs):
                 dbc[k][:, :R], wdt_ref[k, c0 : c0 + Dc].astype(f32),
                 (((1,), (1,)), ((), ())), preferred_element_type=f32, precision=prec)
             delta = jax.nn.softplus(dt + bias_ref[k, 0, c0 : c0 + Dc].astype(f32))
-            a = jnp.exp(delta * A_ref[k, 0, c0 : c0 + Dc].astype(f32))
+            la = delta * A_ref[k, 0, c0 : c0 + Dc].astype(f32)
             b = delta * sc * dbc[k][:, R : R + 1]
-            h = _scan_full(a, b, rev)
+            h = _scan_full_log(la, b, rev)
             if emit:
                 # chunk-entry carries: the recurrence state entering each of
                 # the backward kernels' chunks, sliced from the whole-map h

@@ -111,6 +111,95 @@ def _scan_masked(a, b, seg, reverse):
     return a, b
 
 
+def _scan_mxu_log(la, b, seg, reverse, T0=8):
+    """(a_cum, h) of h_t = a_t h_{t-1} + b_t from LOG-domain decay la = ln a.
+
+    Round-4 MXU-chunked spelling (scripts/mxu_scan_probe.py): the empty-scan
+    twins (docs/PERF.md 2.5) showed the masked-roll scan costs ~38% of every
+    fused kernel even though halving its passes measures neutral — the serial
+    VPU latency, not the pass count, is what Mosaic cannot hide.  This moves
+    the intra-sub-chunk prefix onto the MXU as two triangular matmuls in a
+    (G, T0, D) batched layout:
+
+        cl    = tri @ la              inclusive cumsum of log-decay
+        ea    = exp(cl)               local inclusive decay products
+        h_loc = ea * (tri @ (b/ea))   exact: h_t = sum_s exp(cl_t - cl_s) b_s
+
+    and leaves only the (G, D) = (T/8, D) inter-sub-chunk carries on the VPU
+    (the existing masked-roll, 8x fewer elements).  The caller's own
+    exp(delta*A) is *moved* inside (callers pass delta*A), not duplicated.
+
+    Numerics: la is clamped at -10 (flushes a < 4.5e-5 — history the fp32
+    roll scan also kills within two steps), bounding exp(-cl) <= e^80 within
+    a sub-chunk; the largest term of each prefix sum is always the newest,
+    so rounding stays ~eps * |b|.  Parity vs the roll scan: ~1e-7 abs
+    (probe + tests/test_mxu_scan.py)."""
+    T, D = la.shape[0], la.shape[-1]
+    G = T // T0
+    seg2 = max(seg // T0, 1)
+    f32 = jnp.float32
+    # two-sided clamp: decay is always a = exp(delta*A) <= 1 (delta > 0 from
+    # softplus, A < 0), so the upper clip at 0 only sanitizes ragged-chunk
+    # pad garbage; the lower clip at -10 flushes a < 4.5e-5
+    la = jnp.clip(la.astype(f32), -10.0, 0.0)
+    la3 = la.reshape(G, T0, D)
+    b3 = b.astype(f32).reshape(G, T0, D)
+    r = jax.lax.broadcasted_iota(jnp.int32, (T0, T0), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (T0, T0), 1)
+    tri = ((c <= r) if not reverse else (c >= r)).astype(f32)
+    tri_b = jnp.broadcast_to(tri[None], (G, T0, T0))
+    dg = (((2,), (1,)), ((0,), (0,)))
+    mm = lambda m, v: jax.lax.dot_general(
+        m, v, dg, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+    cl = mm(tri_b, la3)
+    ea = jnp.exp(cl)
+    h_loc = ea * mm(tri_b, b3 / ea)
+    # (G, D) summaries: whole-sub-chunk log-product + partial h at the exit end
+    lA = jnp.sum(la3, axis=1)
+    edge = T0 - 1 if not reverse else 0
+    aa, hh = _scan_masked(jnp.exp(lA), h_loc[:, edge, :], seg2, reverse)
+    g = jax.lax.broadcasted_iota(jnp.int32, (G, D), 0)
+    if not reverse:
+        first = (g % seg2) == 0
+        C = jnp.where(first, 0.0, pltpu.roll(hh, shift=1, axis=0))
+        AC = jnp.where(first, 1.0, pltpu.roll(aa, shift=1, axis=0))
+    else:
+        last = (g % seg2) == seg2 - 1
+        C = jnp.where(last, 0.0, pltpu.roll(hh, shift=G - 1, axis=0))
+        AC = jnp.where(last, 1.0, pltpu.roll(aa, shift=G - 1, axis=0))
+    C3 = jnp.broadcast_to(C.reshape(G, 1, D), (G, T0, D))
+    AC3 = jnp.broadcast_to(AC.reshape(G, 1, D), (G, T0, D))
+    h = (h_loc + ea * C3).reshape(la.shape)
+    a_cum = (ea * AC3).reshape(la.shape)
+    return a_cum, h
+
+
+def _mxu_scan_ok(T, D, seg) -> bool:
+    # DEFAULT OFF — measured negative (round 4, the fourth scan spelling):
+    # interleaved seg_ab --knob TRAMBA_MXU_SCAN read 1.19-1.40x SLOWER on all
+    # 13 live kernel shapes (TOTAL 145.9 vs 116.8 ms, probe 276.8 GB/s).  The
+    # (G, T0, D) reshape/summary/broadcast relayouts plus the in-kernel
+    # division cost more than the removed roll passes — the same relayout tax
+    # that sank round 3's two-level carriers.  Numerics are exact (~1e-5 on
+    # hardware; tests/test_mxu_scan.py keeps them honest) and the spelling is
+    # kept as the ledger entry + methodology twin for the empty-scan floors.
+    return (os.environ.get("TRAMBA_MXU_SCAN", "0") == "1"
+            and T % 8 == 0 and seg % 8 == 0 and D % 128 == 0 and T >= 16)
+
+
+def scan_rec_log(la, b, seg, reverse):
+    """Per-segment recurrence scan from LOG-domain decay: the fused kernels'
+    entry point.  Dispatches to the MXU-chunked spelling when the shape
+    allows (TRAMBA_MXU_SCAN=0 forces the masked-roll everywhere); both paths
+    return (a_cum, h).  TRAMBA_EMPTY_SCAN=1 keeps the floor-twin contract."""
+    if os.environ.get("TRAMBA_EMPTY_SCAN", "0") == "1":
+        return jnp.exp(la.astype(jnp.float32)), b
+    T, D = la.shape[0], la.shape[-1]
+    if _mxu_scan_ok(T, D, seg):
+        return _scan_mxu_log(la, b, seg, reverse)
+    return _scan_masked(jnp.exp(la.astype(jnp.float32)), b, seg, reverse)
+
+
 def _scan_chunk_kernel(a_ref, b_ref, h_ref, carry):
     """One (rows=T sequence, lanes=C channels) chunk of the recurrence."""
     t = pl.program_id(2)

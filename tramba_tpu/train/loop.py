@@ -164,7 +164,12 @@ def fit(args, model, variables, train_loader, tb_writer=None):
     steps_per_epoch = max(1, len(train_loader))
     decay_epochs = list(map(int, str(args.decay_epochs).split("-")))
     decay_factors = list(map(float, str(args.decay_factors).split("-")))
-    tx = make_optimizer(args.lr, decay_epochs, decay_factors, steps_per_epoch)
+    # bf16 first moment by default: halves that state's HBM read+write in the
+    # Adam pass (36 -> 12.9 ms standalone on the 111M-param flagship); the
+    # numerically sensitive second moment stays fp32.  --mu_dtype float32
+    # restores the reference-exact optimizer state.
+    tx = make_optimizer(args.lr, decay_epochs, decay_factors, steps_per_epoch,
+                        mu_dtype=getattr(args, "mu_dtype", "bfloat16"))
     state = create_train_state(model, variables, tx)
 
     save_dir = os.path.join(args.save_model, args.method)
