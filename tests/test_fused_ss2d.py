@@ -99,6 +99,24 @@ def test_folded_freq_matches_composed(kind, param, H):
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c), rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
+def test_freq_dilation_row_chunked():
+    """96px-class dilation map: too big for the whole-map merge-fold block,
+    so _freq_merge_rows tiles Tr=32 rows (round 4) — lock the row-chunked
+    branch in interpret mode (device_check covers it on hardware)."""
+    from tramba_tpu.ops.fused_ss2d import (
+        _freq_merge_rows, composed_ss2d_full_p, fused_ss2d_freq,
+    )
+
+    Hs, Dd = 64, 160
+    assert _freq_merge_rows("dilation", Hs, Hs, Dd, 4, 4) == 32
+    args = _full_inputs(B=1, K=4, H=Hs, W=Hs, D=Dd, seed=9)
+    y_f = fused_ss2d_freq(*args, "dilation", Hs, Hs, 4)
+    y_c = composed_ss2d_full_p(*args, kind="dilation", H=Hs, W=Hs, param=4,
+                               backend="assoc")
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c), rtol=1e-3, atol=1e-3)
+
+
 # ---------------------------------------------------------------------------
 # native fused backward vs the composed VJP oracle (every folded path)
 # ---------------------------------------------------------------------------
