@@ -30,6 +30,9 @@ def main():
                     help="Adam first-moment storage dtype (e.g. bfloat16)")
     ap.add_argument("--ab_mu", action="store_true",
                     help="interleaved in-process A/B: fp32-mu vs bf16-mu Adam")
+    ap.add_argument("--ab_loss", action="store_true",
+                    help="interleaved A/B: real deep-supervision loss chain "
+                         "vs null loss (floor: what the loss chain costs)")
     args = ap.parse_args()
     enable_compilation_cache()
 
@@ -84,6 +87,39 @@ def main():
             print(f"{name}: {sorted(v)[1]:.1f} ms/step (samples "
                   f"{['%.1f' % t for t in sorted(v)]}), "
                   f"final loss {res['loss'][name]:.4f}")
+        return
+
+    if args.ab_loss:
+        # interleaved same-process A/B: real loss chain vs null loss.  Two
+        # distinct jitted step closures (no env knob, no trace-cache hazard);
+        # each arm owns its param buffers (donation).
+        steps = {"real": make_train_step(), "null": make_train_step(null_loss=True)}
+        states, res = {}, {}
+        for name in ("real", "null"):
+            tx = make_optimizer(1e-4, [60], [0.2], 100)
+            states[name] = create_train_state(
+                model, jax.tree.map(jnp.copy, variables), tx)
+            tc = time.time()
+            states[name], m = steps[name](states[name], x, gts, rng)
+            print(f"{name}: compile+first {time.time() - tc:.1f}s, "
+                  f"loss {float(m['loss']):.4f}", flush=True)
+        for rnd in range(3):
+            for name in (("real", "null") if rnd % 2 == 0 else ("null", "real")):
+                s, m = steps[name](states[name], x, gts, rng)  # warm
+                float(m["loss"])
+                t1 = time.perf_counter()
+                for _ in range(args.iters):
+                    s, m = steps[name](s, x, gts, rng)
+                float(m["loss"])
+                res.setdefault(name, []).append(
+                    (time.perf_counter() - t1) / args.iters * 1e3)
+                states[name] = s
+        for name in ("real", "null"):
+            v = res[name]
+            print(f"{name}: {sorted(v)[1]:.1f} ms/step (samples "
+                  f"{['%.1f' % t for t in sorted(v)]})")
+        d = sorted(res["real"])[1] - sorted(res["null"])[1]
+        print(f"loss-chain cost (fwd+bwd, incl. resize grads): {d:+.1f} ms/step")
         return
 
     tx = make_optimizer(1e-4, [60], [0.2], 100,

@@ -86,6 +86,35 @@ def _scan2(a, b, g=8):
     return b + a * carry
 
 
+def _scan_slice(a, b, skip_last_a=False):
+    """Slice-concat spelling (round-4/5 candidate): for pass shifts s that
+    are sublane-aligned (s % 8 == 0), replace roll+mask with vreg-aligned
+    static slices — `b = concat(b[:s], b[s:] + a[s:]*b[:-s])` — eliminating
+    2 rotates and 2 selects per pass (7 -> 3 tile-ops) AND shrinking the
+    updated region as s grows.  Bit-exact vs the masked roll: updated rows
+    compute the identical fma; untouched rows keep their full prefixes
+    (exactly what the mask preserved).  Sub-sublane shifts (s < 8) keep the
+    masked roll (an intra-vreg rotate is unavoidable there).
+    ``skip_last_a``: drop the dead a-chain update on the final pass (legal
+    when the caller discards a_cum or folds the carry into b[0])."""
+    Tn, D = a.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    s = 1
+    while s < min(8, Tn):
+        a_sh = pltpu.roll(a, shift=s, axis=0)
+        b_sh = pltpu.roll(b, shift=s, axis=0)
+        valid = row >= s
+        b = b + a * jnp.where(valid, b_sh, 0.0)
+        a = a * jnp.where(valid, a_sh, 1.0)
+        s *= 2
+    while s < Tn:
+        b = jnp.concatenate([b[:s], b[s:] + a[s:] * b[:-s]], axis=0)
+        if not (skip_last_a and s * 2 >= Tn):
+            a = jnp.concatenate([a[:s], a[s:] * a[:-s]], axis=0)
+        s *= 2
+    return b
+
+
 def _body(kind, x_ref, o_ref):
     x = x_ref[...].astype(jnp.float32)
     if kind == "copy":
@@ -110,6 +139,14 @@ def _body(kind, x_ref, o_ref):
         delta = jax.nn.softplus(x * 0.1 - 1.0)
         a = jnp.exp(delta * -0.7)
         y = _scan2(a, delta * x)
+    elif kind == "scan_slice":
+        y = _scan_slice(jnp.clip(x * 0.01, -0.9, 0.0) + 0.9, x)
+    elif kind == "scan_slice_noA":
+        y = _scan_slice(jnp.clip(x * 0.01, -0.9, 0.0) + 0.9, x, skip_last_a=True)
+    elif kind == "chain+scan_slice":
+        delta = jax.nn.softplus(x * 0.1 - 1.0)
+        a = jnp.exp(delta * -0.7)
+        y = _scan_slice(a, delta * x)
     elif kind == "rawcopy":
         y = x_ref[...]
     o_ref[...] = y.astype(o_ref.dtype)
@@ -141,7 +178,8 @@ def main():
     # Measured floor at T=256: chain+scan ~29 Gelem/s; the live kernels ride
     # at ~19-36 Gelem/s (scripts/roofline.py segments / scan-element counts).
     for kind in ("rawcopy", "copy", "mul", "exp", "chain", "scan", "scan2",
-                 "chain+scan", "chain+scan2"):
+                 "chain+scan", "chain+scan2", "scan_slice", "scan_slice_noA",
+                 "chain+scan_slice"):
         probe(kind)
 
 

@@ -87,13 +87,55 @@ def _scan_masked(a, b, seg, reverse):
     own "empty-scan twin" with identical HBM I/O, projections, MXU matmuls
     and transposes, so `scripts/seg_ab.py --knob TRAMBA_EMPTY_SCAN` measures
     each live kernel's non-scan floor directly (VERDICT r3 next-1).  Outputs
-    are numerically meaningless under the knob."""
+    are numerically meaningless under the knob.
+
+    TRAMBA_SCAN_PASSES=k (trace-time, floor-measurement only): run only the
+    first k Hillis-Steele passes (shifts 1..2^(k-1)) and stop.  Sweeping k
+    (scripts/scan_passes_sweep.py) yields the marginal cost per pass — the
+    curve that disambiguates round 4's paradox (full removal saves 38%,
+    pass-halving is neutral): concave = the sub-sublane shifts (s<8, which
+    need intra-vreg rotates) dominate; linear = every pass bills the same.
+    k=0 must reproduce the TRAMBA_EMPTY_SCAN twin.  Numerically meaningless
+    for k below the full log2(seg) pass count.
+
+    Slice-concat passes (round 5, the fifth spelling — and the first WIN):
+    for whole-chunk scans (seg == T) every pass with shift s >= 8 is
+    sublane-aligned, so the circular roll + two masked selects collapse to
+    static vreg-aligned slices::
+
+        b = concat(b[:s], b[s:] + a[s:] * b[:-s])     (forward)
+        a = concat(a[:s], a[s:] * a[:-s])
+
+    Bit-exact vs the masked roll: updated rows compute the identical fma;
+    untouched rows kept their full prefixes under the mask (a*1, b+a*0)
+    and keep them verbatim here.  7 tile-ops/pass -> 3, no rotate, no
+    iota compare, and the updated region *shrinks* as s grows — exactly
+    the late passes the pass sweep (scripts/scan_passes_sweep.py) showed
+    cost 2-3x the mid passes.  Sub-sublane shifts (s < 8) keep the masked
+    roll (the intra-vreg rotate is unavoidable); segmented scans
+    (seg < T, the paired-line kernel) keep it too — their per-row validity
+    mask is not a contiguous slice.  Knob: TRAMBA_SLICE_SCAN (interleaved
+    A/B via scripts/seg_ab.py; default set by the measured verdict —
+    see docs/PERF.md 2.6)."""
     if os.environ.get("TRAMBA_EMPTY_SCAN", "0") == "1":
         return a, b
+    passes_cap = int(os.environ.get("TRAMBA_SCAN_PASSES", "-1"))
+    use_slice = (os.environ.get("TRAMBA_SLICE_SCAN", "0") == "1") and seg == a.shape[0]
     T = a.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
     s = 1
-    while s < seg:
+    done = 0
+    while s < seg and (passes_cap < 0 or done < passes_cap):
+        if use_slice and s >= 8:
+            if reverse:
+                b = jnp.concatenate([b[:T - s] + a[:T - s] * b[s:], b[T - s:]], axis=0)
+                a = jnp.concatenate([a[:T - s] * a[s:], a[T - s:]], axis=0)
+            else:
+                b = jnp.concatenate([b[:s], b[s:] + a[s:] * b[:-s]], axis=0)
+                a = jnp.concatenate([a[:s], a[s:] * a[:-s]], axis=0)
+            s *= 2
+            done += 1
+            continue
         if reverse:
             # circular shift up by s == roll by T - s (roll requires shift >= 0)
             a_sh = pltpu.roll(a, shift=T - s, axis=0)
@@ -108,6 +150,7 @@ def _scan_masked(a, b, seg, reverse):
         b = b + a * b_sh
         a = a * a_sh
         s *= 2
+        done += 1
     return a, b
 
 

@@ -45,10 +45,15 @@ def create_train_state(model, variables, tx) -> TrainState:
     )
 
 
-def make_train_step(donate: bool = True):
+def make_train_step(donate: bool = True, null_loss: bool = False):
     """Returns step(state, images, gts, rng, valid) -> (state, metrics).
 
     ``valid``: (B,) 0/1 weights masking padded rows of a partial final batch.
+    ``null_loss``: floor-measurement only — replace the deep-supervision
+    loss chain (per-head bilinear upsample + BCE + IoU, fwd AND bwd) with a
+    trivial mean of the head outputs, so an interleaved A/B against the real
+    step (scripts/train_step_bench.py --ab_loss) measures what the loss
+    chain costs inside the fused step.  Trains nothing meaningful.
     """
 
     def step(state: TrainState, images, gts, rng, valid=None):
@@ -64,6 +69,9 @@ def make_train_step(donate: bool = True):
             else:
                 outs = state.apply_fn(variables, images, deterministic=False, rngs={"dropout": rng})
                 new_mstate = state.model_state
+            if null_loss:
+                loss = sum(jnp.mean(o.astype(jnp.float32)) for o in outs)
+                return loss + 0.0 * jnp.mean(gts.astype(jnp.float32)), new_mstate
             return deep_supervision_loss(outs, gts, valid), new_mstate
 
         (loss, new_mstate), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
