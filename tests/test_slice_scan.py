@@ -3,8 +3,9 @@
 The spelling claims BIT-exactness (identical fma on updated rows, untouched
 rows preserved verbatim), so these compare with assert_array_equal, not
 allclose.  Whole-chunk scans (seg == T) engage the slice path for shifts
-s >= 8; segmented scans (seg < T) must keep the masked roll regardless of
-the knob.
+s >= 8; segmented scans (seg < T) keep the masked roll under
+TRAMBA_SLICE_SCAN alone, and engage the reshaped (T//seg, seg, D) slice
+spelling only under TRAMBA_SEG_SLICE_SCAN (seg % 8 == 0).
 """
 
 import jax
@@ -86,3 +87,21 @@ def test_scan_correct_under_knob(_slice_knob, T, seg, reverse):
     ae, he = _oracle(a, b, seg, reverse)
     np.testing.assert_allclose(np.asarray(ao), ae, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(ho), he, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("T,seg", [(96, 24), (192, 96), (64, 16), (128, 8)])
+@pytest.mark.parametrize("reverse", [False, True])
+def test_seg_slice_matches_roll_bitexact(T, seg, reverse, monkeypatch):
+    """TRAMBA_SEG_SLICE_SCAN: the reshaped segmented slice spelling is
+    bit-exact vs the flat masked roll (same fma on updated rows)."""
+    a, b = _inputs(T, 16, seed=3)
+    outs = {}
+    for knob in ("0", "1"):
+        monkeypatch.setenv("TRAMBA_SEG_SLICE_SCAN", knob)
+        jax.clear_caches()
+        outs[knob] = _run(lambda x, y: _scan_masked(x, y, seg, reverse), a, b)
+    np.testing.assert_array_equal(np.asarray(outs["0"][0]), np.asarray(outs["1"][0]))
+    np.testing.assert_array_equal(np.asarray(outs["0"][1]), np.asarray(outs["1"][1]))
+    ae, he = _oracle(a, b, seg, reverse)
+    np.testing.assert_allclose(np.asarray(outs["1"][0]), ae, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs["1"][1]), he, rtol=1e-5, atol=1e-5)

@@ -114,13 +114,27 @@ def _scan_masked(a, b, seg, reverse):
     cost 2-3x the mid passes.  Sub-sublane shifts (s < 8) keep the masked
     roll (the intra-vreg rotate is unavoidable); segmented scans
     (seg < T, the paired-line kernel) keep it too — their per-row validity
-    mask is not a contiguous slice.  Knob: TRAMBA_SLICE_SCAN (interleaved
-    A/B via scripts/seg_ab.py; default set by the measured verdict —
-    see docs/PERF.md 2.6)."""
+    mask is not a contiguous slice.  DEFAULT ON since the measured win
+    (interleaved seg_ab, probe 256 GB/s: raster 0.87-0.95x, line 0.91-0.93x,
+    guides ~0.99x, fused-segment TOTAL 108.1 vs 117.3 ms = 0.92x; full-model
+    interleaved scan_ab: 139.16 vs 148.29 ms = 0.938x — the first of five
+    scan spellings to win in-model); TRAMBA_SLICE_SCAN=0 restores the pure
+    masked roll (docs/PERF.md 2.6).
+
+    TRAMBA_SEG_SLICE_SCAN (round 5 follow-on, default off until measured):
+    extends the slice spelling to SEGMENTED scans (seg < T, the paired-line
+    odd direction — the only roll-keeping path left).  The (T, D) chunk is
+    reshaped to (T//seg, seg, D) — tile-preserving when seg % 8 == 0, so no
+    relayout — where each pass with s >= 8 is a static slice along the
+    sublane axis with NO validity mask at all (segment boundaries coincide
+    with the reshape).  Sub-8 passes keep the flat masked roll."""
     if os.environ.get("TRAMBA_EMPTY_SCAN", "0") == "1":
         return a, b
     passes_cap = int(os.environ.get("TRAMBA_SCAN_PASSES", "-1"))
-    use_slice = (os.environ.get("TRAMBA_SLICE_SCAN", "0") == "1") and seg == a.shape[0]
+    use_slice = (os.environ.get("TRAMBA_SLICE_SCAN", "1") == "1") and seg == a.shape[0]
+    use_seg_slice = (os.environ.get("TRAMBA_SEG_SLICE_SCAN", "0") == "1"
+                     and seg < a.shape[0] and seg % 8 == 0
+                     and a.shape[0] % seg == 0)
     T = a.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
     s = 1
@@ -133,6 +147,22 @@ def _scan_masked(a, b, seg, reverse):
             else:
                 b = jnp.concatenate([b[:s], b[s:] + a[s:] * b[:-s]], axis=0)
                 a = jnp.concatenate([a[:s], a[s:] * a[:-s]], axis=0)
+            s *= 2
+            done += 1
+            continue
+        if use_seg_slice and s >= 8:
+            sh3 = (T // seg, seg) + a.shape[1:]
+            a3, b3 = a.reshape(sh3), b.reshape(sh3)
+            if reverse:
+                e = seg - s
+                b3 = jnp.concatenate(
+                    [b3[:, :e] + a3[:, :e] * b3[:, s:], b3[:, e:]], axis=1)
+                a3 = jnp.concatenate([a3[:, :e] * a3[:, s:], a3[:, e:]], axis=1)
+            else:
+                b3 = jnp.concatenate(
+                    [b3[:, :s], b3[:, s:] + a3[:, s:] * b3[:, :-s]], axis=1)
+                a3 = jnp.concatenate([a3[:, :s], a3[:, s:] * a3[:, :-s]], axis=1)
+            a, b = a3.reshape(a.shape), b3.reshape(b.shape)
             s *= 2
             done += 1
             continue
