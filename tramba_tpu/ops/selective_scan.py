@@ -121,18 +121,21 @@ def _scan_masked(a, b, seg, reverse):
     scan spellings to win in-model); TRAMBA_SLICE_SCAN=0 restores the pure
     masked roll (docs/PERF.md 2.6).
 
-    TRAMBA_SEG_SLICE_SCAN (round 5 follow-on, default off until measured):
-    extends the slice spelling to SEGMENTED scans (seg < T, the paired-line
-    odd direction — the only roll-keeping path left).  The (T, D) chunk is
-    reshaped to (T//seg, seg, D) — tile-preserving when seg % 8 == 0, so no
-    relayout — where each pass with s >= 8 is a static slice along the
-    sublane axis with NO validity mask at all (segment boundaries coincide
-    with the reshape).  Sub-8 passes keep the flat masked roll."""
+    TRAMBA_SEG_SLICE_SCAN (round 5 follow-on): extends the slice spelling to
+    SEGMENTED scans (seg < T, the paired-line odd direction — the only
+    roll-keeping path left).  The (T, D) chunk is reshaped to
+    (T//seg, seg, D) — tile-preserving when seg % 8 == 0, so no relayout —
+    where each pass with s >= 8 is a static slice along the sublane axis
+    with NO validity mask at all (segment boundaries coincide with the
+    reshape).  Sub-8 passes keep the flat masked roll.  Measured interleaved
+    (seg_ab, probe 269 GB/s): dec_s0/s1/s2 all 0.99x, everything else 1.00x —
+    a hair-positive ~0.5 ms/forward.  Default ON (bit-exact,
+    tests/test_slice_scan.py; never measured worse); =0 restores the roll."""
     if os.environ.get("TRAMBA_EMPTY_SCAN", "0") == "1":
         return a, b
     passes_cap = int(os.environ.get("TRAMBA_SCAN_PASSES", "-1"))
     use_slice = (os.environ.get("TRAMBA_SLICE_SCAN", "1") == "1") and seg == a.shape[0]
-    use_seg_slice = (os.environ.get("TRAMBA_SEG_SLICE_SCAN", "0") == "1"
+    use_seg_slice = (os.environ.get("TRAMBA_SEG_SLICE_SCAN", "1") == "1"
                      and seg < a.shape[0] and seg % 8 == 0
                      and a.shape[0] % seg == 0)
     T = a.shape[0]
