@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--ab_loss", action="store_true",
                     help="interleaved A/B: real deep-supervision loss chain "
                          "vs null loss (floor: what the loss chain costs)")
+    ap.add_argument("--ab_knob", default=None,
+                    help="interleaved A/B of a trace-time env knob on the "
+                         "FULL train step (fwd+bwd+Adam), e.g. "
+                         "TRAMBA_DUAL_SCAN — the train-step analogue of "
+                         "scripts/scan_ab.py (clear_caches per flip, "
+                         "AOT-compiled arms, per-arm param buffers)")
     args = ap.parse_args()
     enable_compilation_cache()
 
@@ -87,6 +93,43 @@ def main():
             print(f"{name}: {sorted(v)[1]:.1f} ms/step (samples "
                   f"{['%.1f' % t for t in sorted(v)]}), "
                   f"final loss {res['loss'][name]:.4f}")
+        return
+
+    if args.ab_knob:
+        # interleaved same-process A/B of a trace-time env knob on the whole
+        # train step.  clear_caches() after each flip defeats the inner-jit
+        # trace cache (seg_ab.py caveat); AOT-compiling each arm pins its
+        # executable so the other arm's flip can't silently re-trace it.
+        import os
+
+        steps, states, res = {}, {}, {}
+        for name, flag in (("on", "1"), ("off", "0")):
+            os.environ[args.ab_knob] = flag
+            jax.clear_caches()
+            step = make_train_step()
+            tx = make_optimizer(1e-4, [60], [0.2], 100)
+            st = create_train_state(model, jax.tree.map(jnp.copy, variables), tx)
+            tc = time.time()
+            steps[name] = step.lower(st, x, gts, rng).compile()
+            states[name], m = steps[name](st, x, gts, rng)
+            print(f"{args.ab_knob}={flag}: compile+first {time.time() - tc:.1f}s, "
+                  f"loss {float(m['loss']):.4f}", flush=True)
+        for rnd in range(3):
+            for name in (("on", "off") if rnd % 2 == 0 else ("off", "on")):
+                s, m = steps[name](states[name], x, gts, rng)  # warm
+                float(m["loss"])
+                t1 = time.perf_counter()
+                for _ in range(args.iters):
+                    s, m = steps[name](s, x, gts, rng)
+                float(m["loss"])
+                res.setdefault(name, []).append(
+                    (time.perf_counter() - t1) / args.iters * 1e3)
+                states[name] = s
+        for name in ("on", "off"):
+            v = res[name]
+            print(f"{name}: {sorted(v)[1]:.1f} ms/step (samples "
+                  f"{['%.1f' % t for t in sorted(v)]})")
+        print(f"ratio on/off: {sorted(res['on'])[1] / sorted(res['off'])[1]:.3f}")
         return
 
     if args.ab_loss:

@@ -26,8 +26,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tramba_tpu.ops.selective_scan import (_scan_masked, _vcall, linear_scan,
-                                            scan_rec_log)
+from tramba_tpu.ops.selective_scan import (_dual_scan_on, _scan_masked, _vcall,
+                                            linear_scan, scan_rec_log,
+                                            scan_rec_log_carry,
+                                            scan_rec_log_carry2)
 
 __all__ = ["fused_ss2d_core", "composed_ss2d_core"]
 
@@ -87,8 +89,7 @@ def _fused_kernel(R, hi, emit, *refs):
     la = delta * A_ref[0].astype(jnp.float32)
     b = delta * x * dbc[:, R : R + 1]
 
-    a, b = scan_rec_log(la, b, T, reverse=False)
-    h = a * carry[...] + b
+    h = scan_rec_log_carry(la, b, carry[...], reverse=False)
     carry[...] = h[T - 1 :, :]
     y = h * dbc[:, R + 1 : R + 2] + x * Ds_ref[0].astype(jnp.float32)
     out_ref[0] = y.astype(out_ref.dtype)
@@ -215,14 +216,6 @@ fused_ss2d_core.defvjp(_fwd, _bwd)
 # ---------------------------------------------------------------------------
 
 
-def _scan_chunk_log(la, b, reverse):
-    """In-chunk scan from LOG-domain decay (la = delta*A, pre-exp); returns
-    (A_cum, h_partial) for carry combine.  Every caller tiles with exact
-    divisors (no ragged padding).  Dispatches to the MXU-chunked spelling
-    (selective_scan.scan_rec_log) when the shape allows."""
-    return scan_rec_log(la, b, la.shape[0], reverse)
-
-
 def _dirs_kernel(R, transposed, hi, emit, *refs):
     if emit:
         (xs_ref, wx_ref, wdt_ref, bias_ref, A_ref, Ds_ref, out_ref, cout_ref, carry) = refs
@@ -258,13 +251,11 @@ def _dirs_kernel(R, transposed, hi, emit, *refs):
     b = delta * x * dbc[:, R : R + 1]
 
     def fwd(ab):
-        A_cum, hp = _scan_chunk_log(ab[0], ab[1], reverse=False)
-        h = A_cum * carry[...] + hp
+        h = scan_rec_log_carry(ab[0], ab[1], carry[...], reverse=False)
         return h, h[T - 1 :, :]
 
     def bwd(ab):
-        A_cum, hp = _scan_chunk_log(ab[0], ab[1], reverse=True)
-        h = A_cum * carry[...] + hp
+        h = scan_rec_log_carry(ab[0], ab[1], carry[...], reverse=True)
         return h, h[0:1, :]
 
     h, new_carry = jax.lax.cond(k == 0, fwd, bwd, (la, b))
@@ -553,21 +544,19 @@ def _bwd_chunk_math(R, prec, k_is_fwd, x, g, carry_fwd, lam_in, wx, wdt, bias, A
     gh = g * Cc
 
     def fwd_dir(_):
-        Ac, hp = _scan_chunk_log(la, b, reverse=False)
-        h = Ac * carry_fwd + hp
-        h_prev = _shift_down(h, carry_fwd)
+        # h-scan and lambda-scan are data-independent — interleaved when
+        # TRAMBA_DUAL_SCAN=1 (scan_rec_log_carry2; sequential otherwise)
         la_sh = _shift_up(la, 0.0)
-        Ar, lp = _scan_chunk_log(la_sh, gh, reverse=True)
-        lam = lp + Ar * lam_in
+        h, lam = scan_rec_log_carry2(la, b, carry_fwd, False,
+                                     la_sh, gh, lam_in, True)
+        h_prev = _shift_down(h, carry_fwd)
         return h, h_prev, lam, a[0:1] * lam[0:1]
 
     def rev_dir(_):
-        Ac, hp = _scan_chunk_log(la, b, reverse=True)
-        h = Ac * carry_fwd + hp
-        h_prev = _shift_up(h, carry_fwd)
         la_sh = _shift_down(la, 0.0)
-        Ar, lp = _scan_chunk_log(la_sh, gh, reverse=False)
-        lam = lp + Ar * lam_in
+        h, lam = scan_rec_log_carry2(la, b, carry_fwd, True,
+                                     la_sh, gh, lam_in, False)
+        h_prev = _shift_up(h, carry_fwd)
         return h, h_prev, lam, a[T - 1 :] * lam[T - 1 :]
 
     h, h_prev, lam, lam_out = fwd_dir(None) if k_is_fwd else rev_dir(None)
@@ -837,8 +826,7 @@ def _line_pair_kernel(R, Hline, hi, x_ref, wxe_ref, wxo_ref, wdte_ref, wdto_ref,
 
     # even direction: continuous forward scan across the whole sequence
     dbc_e, la_e, b_e = proj(wxe_ref, wdte_ref, be_ref, Ae_ref)
-    A_cum, hp = _scan_chunk_log(la_e, b_e, reverse=False)
-    h_e = A_cum * carry_e[...] + hp
+    h_e = scan_rec_log_carry(la_e, b_e, carry_e[...], reverse=False)
     carry_e[...] = h_e[T - 1 :, :]
 
     # odd direction: per-line reversed scan, carry chaining forward through
@@ -1393,13 +1381,23 @@ def _pair_phase2_kernel(R, transposed, hi, emit_merge, has_line, emit_ysum,
     shp = blk.shape
     T = shp[0] * shp[1]
     x = blk.reshape(T, -1).astype(f32)
-    y = None
-    for d, rev in ((0, False), (1, True)):
-        dbc, la, b = _proj_ab(x, wx_ref[d], wdt_ref[d], bias_ref[d], A_ref[d], R, prec)
-        A_cum, hp = _scan_chunk_log(la, b, reverse=rev)
-        h = A_cum * c_ref[0, d, 0, 0].astype(f32) + hp
-        yk = h * dbc[:, R + 1 : R + 2] + x * Ds_ref[d].astype(f32)
-        y = yk if y is None else y + yk
+    if _dual_scan_on():
+        # interleave the two independent direction scans (scan_rec_log_carry2
+        # docstring): both projections first, then alternating pass loops
+        dbc0, la0, b0 = _proj_ab(x, wx_ref[0], wdt_ref[0], bias_ref[0], A_ref[0], R, prec)
+        dbc1, la1, b1 = _proj_ab(x, wx_ref[1], wdt_ref[1], bias_ref[1], A_ref[1], R, prec)
+        h0, h1 = scan_rec_log_carry2(
+            la0, b0, c_ref[0, 0, 0, 0].astype(f32), False,
+            la1, b1, c_ref[0, 1, 0, 0].astype(f32), True)
+        y = (h0 * dbc0[:, R + 1 : R + 2] + x * Ds_ref[0].astype(f32)) \
+            + (h1 * dbc1[:, R + 1 : R + 2] + x * Ds_ref[1].astype(f32))
+    else:
+        y = None
+        for d, rev in ((0, False), (1, True)):
+            dbc, la, b = _proj_ab(x, wx_ref[d], wdt_ref[d], bias_ref[d], A_ref[d], R, prec)
+            h = scan_rec_log_carry(la, b, c_ref[0, d, 0, 0].astype(f32), reverse=rev)
+            yk = h * dbc[:, R + 1 : R + 2] + x * Ds_ref[d].astype(f32)
+            y = yk if y is None else y + yk
     if not emit_merge:
         if transposed:
             out_ref[0, 0] = jnp.swapaxes(y.reshape(shp), 0, 1).astype(out_ref.dtype)

@@ -26,6 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tramba_tpu.ops.fused_ss2d import _col_chunk, _erf, _row_chunk, _vcall
+from tramba_tpu.ops.selective_scan import _dual_scan_on, scan_rec_log_multi
 
 __all__ = ["fused_ss2d_small", "smallmap_ok"]
 
@@ -72,7 +73,9 @@ def _scan_full_log(la, b, reverse):
     the MXU-chunked spelling (selective_scan._scan_mxu_log) is not."""
     from tramba_tpu.ops.selective_scan import scan_rec_log
 
-    _, hp = scan_rec_log(la, b, la.shape[0], reverse)
+    # need_a=False: no carry to combine — the scan skips/shrinks its decay
+    # updates (suffix-view spelling, selective_scan._scan_masked round 5)
+    _, hp = scan_rec_log(la, b, la.shape[0], reverse, need_a=False)
     return hp
 
 
@@ -154,10 +157,21 @@ def _small_kernel(R, H, W, has_pro, has_ln, hi, emit, *refs):
         T13 = _col_chunk(W, H, D) * H
         n02, n13 = L // T02, L // T13
     chunks = []
+    # direction order per D-chunk; under TRAMBA_DUAL_SCAN the two directions
+    # sharing a source view (same sc slice, opposite reverse) run their scan
+    # pass loops interleaved (selective_scan.scan_rec_log_multi) — pairs, not
+    # all four, to bound live scan temps at 2x (the kernel is scoped-vmem
+    # tight, ~20 MB stack at stage-3 shapes)
+    if _dual_scan_on():
+        dir_groups = (((0, x, False), (2, x, True)), ((1, xT, False), (3, xT, True)))
+    else:
+        dir_groups = (((0, x, False),), ((1, xT, False),), ((2, x, True),), ((3, xT, True),))
     for c0 in range(0, D, Dc):
         yc = jnp.zeros((L, Dc), f32)   # pixel-order directions (0, 2)
         ycT = jnp.zeros((L, Dc), f32)  # w-major directions (1, 3)
-        for k, seq, rev in ((0, x, False), (1, xT, False), (2, x, True), (3, xT, True)):
+        for grp in dir_groups:
+          las_, bs_, scs_ = [], [], []
+          for k, seq, rev in grp:
             sc = seq[:, c0 : c0 + Dc].astype(f32)
             dt = jax.lax.dot_general(
                 dbc[k][:, :R], wdt_ref[k, c0 : c0 + Dc].astype(f32),
@@ -165,7 +179,11 @@ def _small_kernel(R, H, W, has_pro, has_ln, hi, emit, *refs):
             delta = jax.nn.softplus(dt + bias_ref[k, 0, c0 : c0 + Dc].astype(f32))
             la = delta * A_ref[k, 0, c0 : c0 + Dc].astype(f32)
             b = delta * sc * dbc[k][:, R : R + 1]
-            h = _scan_full_log(la, b, rev)
+            las_.append(la)
+            bs_.append(b)
+            scs_.append(sc)
+          hs = scan_rec_log_multi(las_, bs_, [g[2] for g in grp])
+          for (k, seq, rev), h, sc in zip(grp, hs, scs_):
             if emit:
                 # chunk-entry carries: the recurrence state entering each of
                 # the backward kernels' chunks, sliced from the whole-map h

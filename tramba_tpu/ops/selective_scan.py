@@ -64,7 +64,7 @@ def _linear_scan_assoc(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return h
 
 
-def _scan_masked(a, b, seg, reverse):
+def _scan_masked(a, b, seg, reverse, need_a=True):
     """Per-``seg``-segment masked Hillis-Steele over axis 0 (prefix scan
     within each segment; suffix when ``reverse``).  seg == T is the plain
     whole-chunk scan.
@@ -130,20 +130,52 @@ def _scan_masked(a, b, seg, reverse):
     reshape).  Sub-8 passes keep the flat masked roll.  Measured interleaved
     (seg_ab, probe 269 GB/s): dec_s0/s1/s2 all 0.99x, everything else 1.00x —
     a hair-positive ~0.5 ms/forward.  Default ON (bit-exact,
-    tests/test_slice_scan.py; never measured worse); =0 restores the roll."""
+    tests/test_slice_scan.py; never measured worse); =0 restores the roll.
+
+    need_a=False (round 5): callers that DISCARD the cumulative decay (the
+    whole-map smallmap megakernel — no carry, `_, h = scan` at
+    fused_ss2d_small._scan_full_log) don't need the full a-updates: the a
+    produced by the pass at shift s is read only by the b-update at shift 2s
+    and only at rows [2s:] (forward; prefix [:T-2s] reversed).  So the slice
+    path keeps a shrinking SUFFIX view instead — per pass the a-concat
+    disappears and the a-mul region halves (``a_view = a_view[s:] *
+    a_view[:T-2s]``), and the final pass does no decay work at all.  The
+    masked-roll passes (s < 8) still need full a (their rolls wrap), but the
+    roll path also skips its final-pass a-update (3 of 7 tile-ops) when it is
+    the last.  h computes the identical fma sequence (the b-update reads the
+    identical rows); dropped dead a-ops can still flip compiler fusion on
+    shared subexpressions, so allow ~1-ulp drift (tests/test_slice_scan.py).
+    Returns (None, h) — loud, not silently-stale, if a caller uses it.
+    TRAMBA_SUFFIX_A=0 restores full a-updates (A/B knob for seg_ab)."""
     if os.environ.get("TRAMBA_EMPTY_SCAN", "0") == "1":
-        return a, b
+        return (a if need_a else None), b
     passes_cap = int(os.environ.get("TRAMBA_SCAN_PASSES", "-1"))
     use_slice = (os.environ.get("TRAMBA_SLICE_SCAN", "1") == "1") and seg == a.shape[0]
     use_seg_slice = (os.environ.get("TRAMBA_SEG_SLICE_SCAN", "1") == "1"
                      and seg < a.shape[0] and seg % 8 == 0
                      and a.shape[0] % seg == 0)
+    skip_a = (not need_a) and os.environ.get("TRAMBA_SUFFIX_A", "1") == "1"
     T = a.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
     s = 1
     done = 0
+    a_view = None  # shrinking live-rows view of a (suffix fwd / prefix rev)
     while s < seg and (passes_cap < 0 or done < passes_cap):
         if use_slice and s >= 8:
+            if skip_a:
+                if a_view is None:
+                    a_view = a[:T - s] if reverse else a[s:]
+                if reverse:
+                    b = jnp.concatenate([b[:T - s] + a_view * b[s:], b[T - s:]], axis=0)
+                    if 2 * s < seg:
+                        a_view = a_view[:T - 2 * s] * a_view[s:]
+                else:
+                    b = jnp.concatenate([b[:s], b[s:] + a_view * b[:-s]], axis=0)
+                    if 2 * s < seg:
+                        a_view = a_view[s:] * a_view[:T - 2 * s]
+                s *= 2
+                done += 1
+                continue
             if reverse:
                 b = jnp.concatenate([b[:T - s] + a[:T - s] * b[s:], b[T - s:]], axis=0)
                 a = jnp.concatenate([a[:T - s] * a[s:], a[T - s:]], axis=0)
@@ -171,20 +203,19 @@ def _scan_masked(a, b, seg, reverse):
             continue
         if reverse:
             # circular shift up by s == roll by T - s (roll requires shift >= 0)
-            a_sh = pltpu.roll(a, shift=T - s, axis=0)
             b_sh = pltpu.roll(b, shift=T - s, axis=0)
             valid = (row % seg) < seg - s
         else:
-            a_sh = pltpu.roll(a, shift=s, axis=0)
             b_sh = pltpu.roll(b, shift=s, axis=0)
             valid = (row % seg) >= s
-        a_sh = jnp.where(valid, a_sh, 1.0)
         b_sh = jnp.where(valid, b_sh, 0.0)
         b = b + a * b_sh
-        a = a * a_sh
+        if not (skip_a and 2 * s >= seg):  # last-pass decay update feeds nothing
+            a_sh = pltpu.roll(a, shift=(T - s) if reverse else s, axis=0)
+            a = a * jnp.where(valid, a_sh, 1.0)
         s *= 2
         done += 1
-    return a, b
+    return (a if need_a else None), b
 
 
 def _scan_mxu_log(la, b, seg, reverse, T0=8):
@@ -263,17 +294,179 @@ def _mxu_scan_ok(T, D, seg) -> bool:
             and T % 8 == 0 and seg % 8 == 0 and D % 128 == 0 and T >= 16)
 
 
-def scan_rec_log(la, b, seg, reverse):
+def scan_rec_log(la, b, seg, reverse, need_a=True):
     """Per-segment recurrence scan from LOG-domain decay: the fused kernels'
     entry point.  Dispatches to the MXU-chunked spelling when the shape
     allows (TRAMBA_MXU_SCAN=0 forces the masked-roll everywhere); both paths
-    return (a_cum, h).  TRAMBA_EMPTY_SCAN=1 keeps the floor-twin contract."""
+    return (a_cum, h).  TRAMBA_EMPTY_SCAN=1 keeps the floor-twin contract.
+    need_a=False (see _scan_masked): the caller discards a_cum — skip /
+    shrink the decay updates and return (None, h)."""
     if os.environ.get("TRAMBA_EMPTY_SCAN", "0") == "1":
-        return jnp.exp(la.astype(jnp.float32)), b
+        return (jnp.exp(la.astype(jnp.float32)) if need_a else None), b
     T, D = la.shape[0], la.shape[-1]
     if _mxu_scan_ok(T, D, seg):
-        return _scan_mxu_log(la, b, seg, reverse)
-    return _scan_masked(jnp.exp(la.astype(jnp.float32)), b, seg, reverse)
+        a_cum, h = _scan_mxu_log(la, b, seg, reverse)
+        return (a_cum if need_a else None), h
+    return _scan_masked(jnp.exp(la.astype(jnp.float32)), b, seg, reverse,
+                        need_a=need_a)
+
+
+def scan_rec_log_carry(la, b, carry, reverse):
+    """h of h_t = exp(la_t) * h_{t-1} + b_t over axis 0 with boundary state
+    ``carry`` (broadcastable to (1, D)): h_{-1} = carry forward, h_T = carry
+    reversed.  Whole-chunk only.  Returns h (T, D).
+
+    Round-5 spelling: every fused kernel knows its chunk-entry carry BEFORE
+    the scan (serial grid scratch, or the two-phase carries kernel), so the
+    classic ``A_cum * carry + h_partial`` epilogue wastes the cumulative-decay
+    side of every Hillis-Steele pass (~2 of 5 slice-path tile-ops) just to
+    apply one known vector.  Fold the carry into the boundary row instead —
+    ``b'_edge = b_edge + exp(la_edge) * carry`` — and scan with need_a=False
+    (suffix decay updates, _scan_masked).  Mathematically identical
+    (fp association differs: the carry term now rides the same fma chain as
+    b instead of one post-hoc fma — drift ~1 ulp/step, decay-bounded; parity
+    + grad tests tolerate).  TRAMBA_SEED_CARRY=0 restores the A_cum epilogue
+    (A/B knob, scripts/seg_ab.py)."""
+    T = la.shape[0]
+    if os.environ.get("TRAMBA_SEED_CARRY", "1") == "1":
+        f32 = jnp.float32
+        laf = la.astype(f32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+        edge = (row == 0) if not reverse else (row == T - 1)
+        if not reverse:
+            a_edge = jnp.exp(laf[0:1])  # aligned 1-row slice
+        else:
+            # last row via masked reduce (an offset-(T-1) row slice is a
+            # Mosaic relayout hazard; the reduce is 2 cheap full-width ops)
+            a_edge = jnp.exp(jnp.sum(jnp.where(edge, laf, 0.0), axis=0,
+                                     keepdims=True))
+        b = jnp.where(edge, b + a_edge * carry, b)
+        _, h = scan_rec_log(la, b, T, reverse, need_a=False)
+        return h
+    A_cum, hp = scan_rec_log(la, b, T, reverse)
+    return A_cum * carry + hp
+
+
+def _dual_scan_on():
+    return os.environ.get("TRAMBA_DUAL_SCAN", "0") == "1"
+
+
+def scan_rec_log_carry2(la0, b0, c0, rev0, la1, b1, c1, rev1):
+    """Two INDEPENDENT carry-seeded whole-chunk scans with their Hillis-Steele
+    pass loops textually interleaved (knob ``TRAMBA_DUAL_SCAN``; off = two
+    sequential :func:`scan_rec_log_carry` calls, the measured round-5
+    default).
+
+    Why this might matter (and why it is NOT a retry of the dead overlap
+    probe, docs/PERF.md 4.11): carry seeding (2.7) removed the a-side decay
+    ops from every pass and measured ~neutral — those ops were executing in
+    idle VPU slots created by the b-chain's serial pass-to-pass latency.
+    Those slots are now EMPTY.  The paired kernels run two data-independent
+    scans back to back (fwd + rev direction; h-scan + lambda-scan in the
+    adjoint); issuing their passes alternately gives Mosaic's scheduler
+    adjacent independent work to fill the shadow with — potentially hiding
+    one chain's latency entirely.  The overlap probe tested proj-vs-scan
+    BEFORE carry seeding, when the a-ops still occupied the slack.
+
+    Bit-exact per direction vs the sequential calls: identical op sequence
+    per direction (same slice-concat spelling, same seeding), only the
+    instruction interleaving across directions differs — elementwise fp ops
+    on disjoint arrays commute exactly.  Falls back to sequential whenever
+    any scan knob is off its default (floor twins, pass sweeps, MXU scan,
+    roll spelling) so every measurement knob keeps its contract, or when the
+    two chunks' lengths differ."""
+    if not _interleave_ok([la0, la1]):
+        return (scan_rec_log_carry(la0, b0, c0, rev0),
+                scan_rec_log_carry(la1, b1, c1, rev1))
+    f32 = jnp.float32
+    T = la0.shape[0]
+    las, bs = [], []
+    for la, b, c, rev in ((la0, b0, c0, rev0), (la1, b1, c1, rev1)):
+        laf = la.astype(f32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+        edge = (row == 0) if not rev else (row == T - 1)
+        if not rev:
+            a_edge = jnp.exp(laf[0:1])
+        else:
+            a_edge = jnp.exp(jnp.sum(jnp.where(edge, laf, 0.0), axis=0,
+                                     keepdims=True))
+        las.append(la)
+        bs.append(jnp.where(edge, b + a_edge * c, b))
+    h0, h1 = _scan_interleaved(las, bs, [rev0, rev1])
+    return h0, h1
+
+
+def _interleave_ok(las):
+    """Interleaved pass loops mirror ONE knob configuration — the measured
+    round-5 default (slice-concat + suffix-a + seeded carries, roll/MXU/floor
+    knobs off).  Any other setting falls back to sequential scans so every
+    measurement knob keeps its contract."""
+    return (
+        _dual_scan_on()
+        and os.environ.get("TRAMBA_SEED_CARRY", "1") == "1"
+        and os.environ.get("TRAMBA_SLICE_SCAN", "1") == "1"
+        and os.environ.get("TRAMBA_SUFFIX_A", "1") == "1"
+        and os.environ.get("TRAMBA_EMPTY_SCAN", "0") == "0"
+        and os.environ.get("TRAMBA_MXU_SCAN", "0") == "0"
+        and int(os.environ.get("TRAMBA_SCAN_PASSES", "-1")) < 0
+        and len({la.shape[0] for la in las}) == 1
+    )
+
+
+def scan_rec_log_multi(las, bs, revs):
+    """N independent whole-chunk need_a=False scans (no carry — the smallmap
+    megakernel's four directions), pass loops interleaved under
+    TRAMBA_DUAL_SCAN; sequential :func:`scan_rec_log` calls otherwise.
+    Returns [h, ...]."""
+    if not _interleave_ok(las):
+        return [scan_rec_log(la, b, la.shape[0], rev, need_a=False)[1]
+                for la, b, rev in zip(las, bs, revs)]
+    return _scan_interleaved(las, bs, revs)
+
+
+def _scan_interleaved(las, bs, revs):
+    """The interleaved pass loop: per Hillis-Steele shift, issue every
+    direction's update before advancing — op-identical per direction to the
+    default skip_a spelling in _scan_masked (slice-concat passes at s >= 8
+    with a shrinking suffix a-view, masked rolls below, final-pass decay
+    skipped).  Callers guarantee _interleave_ok."""
+    f32 = jnp.float32
+    T = las[0].shape[0]
+    # [a (full, roll passes), a_view (slice passes), b, rev, row-iota]
+    states = [[jnp.exp(la.astype(f32)), None, b, rev,
+               jax.lax.broadcasted_iota(jnp.int32, la.shape, 0)]
+              for la, b, rev in zip(las, bs, revs)]
+    s = 1
+    while s < T:
+        for st in states:
+            a, a_view, b, rev, row = st
+            if s >= 8:  # slice-concat passes, suffix-view a (skip_a spelling)
+                if a_view is None:
+                    a_view = a[:T - s] if rev else a[s:]
+                if rev:
+                    b = jnp.concatenate(
+                        [b[:T - s] + a_view * b[s:], b[T - s:]], axis=0)
+                    if 2 * s < T:
+                        a_view = a_view[:T - 2 * s] * a_view[s:]
+                else:
+                    b = jnp.concatenate(
+                        [b[:s], b[s:] + a_view * b[:-s]], axis=0)
+                    if 2 * s < T:
+                        a_view = a_view[s:] * a_view[:T - 2 * s]
+            else:  # sub-sublane masked-roll passes (full a except last pass)
+                if rev:
+                    b_sh = pltpu.roll(b, shift=T - s, axis=0)
+                    valid = row < T - s
+                else:
+                    b_sh = pltpu.roll(b, shift=s, axis=0)
+                    valid = row >= s
+                b = b + a * jnp.where(valid, b_sh, 0.0)
+                if 2 * s < T:
+                    a_sh = pltpu.roll(a, shift=(T - s) if rev else s, axis=0)
+                    a = a * jnp.where(valid, a_sh, 1.0)
+            st[0], st[1], st[2] = a, a_view, b
+        s *= 2
+    return [st[2] for st in states]
 
 
 def _scan_chunk_kernel(a_ref, b_ref, h_ref, carry):
@@ -287,8 +480,15 @@ def _scan_chunk_kernel(a_ref, b_ref, h_ref, carry):
     a = a_ref[0].astype(jnp.float32)  # (T, C)
     b = b_ref[0].astype(jnp.float32)
     T = a.shape[0]
-    a, b = _scan_masked(a, b, T, reverse=False)
-    h = a * carry[...] + b
+    if os.environ.get("TRAMBA_SEED_CARRY", "1") == "1":
+        # fold the chunk-entry carry into row 0 and skip the cumulative-decay
+        # materialization (see scan_rec_log_carry)
+        row = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+        b = jnp.where(row == 0, b + a[0:1] * carry[...], b)
+        _, h = _scan_masked(a, b, T, reverse=False, need_a=False)
+    else:
+        a, b = _scan_masked(a, b, T, reverse=False)
+        h = a * carry[...] + b
     carry[...] = h[T - 1 :, :]
     h_ref[0] = h.astype(h_ref.dtype)
 
