@@ -824,14 +824,19 @@ def _line_pair_kernel(R, Hline, hi, x_ref, wxe_ref, wxo_ref, wdte_ref, wdto_ref,
         b = delta * x * dbc[:, R : R + 1]
         return dbc, la, b
 
+    pk = None
+    if _pack_dbc_on():
+        pk = _proj_ab2(x, wxe_ref[0], wxo_ref[0], wdte_ref[0], wdto_ref[0],
+                       be_ref[0], bo_ref[0], Ae_ref[0], Ao_ref[0], R, prec)
+
     # even direction: continuous forward scan across the whole sequence
-    dbc_e, la_e, b_e = proj(wxe_ref, wdte_ref, be_ref, Ae_ref)
+    dbc_e, la_e, b_e = pk[0] if pk else proj(wxe_ref, wdte_ref, be_ref, Ae_ref)
     h_e = scan_rec_log_carry(la_e, b_e, carry_e[...], reverse=False)
     carry_e[...] = h_e[T - 1 :, :]
 
     # odd direction: per-line reversed scan, carry chaining forward through
     # lines (the flipped sequence visits lines in order, pixels reversed)
-    dbc_o, la_o, b_o = proj(wxo_ref, wdto_ref, bo_ref, Ao_ref)
+    dbc_o, la_o, b_o = pk[1] if pk else proj(wxo_ref, wdto_ref, bo_ref, Ao_ref)
     A_ln, hp_ln = _scan_lines_log(la_o, b_o, Hline)
     c = carry_o[...]  # (1, D)
     segs = []
@@ -1274,6 +1279,40 @@ def _proj_ab(x, wx, wdt, bias, A, R, prec):
     return dbc, la, b
 
 
+def _pack_dbc_on():
+    """Default ON (round 4 tail): interleaved seg_ab 0.97-1.00 on all 13
+    segments, TOTAL 0.99; full-model scan_ab 136.88 vs 138.09 ms median
+    (0.991x), on-arm strictly faster in all 4 rounds.  docs/PERF.md 2.8."""
+    return os.environ.get("TRAMBA_PACK_DBC", "1") == "1"
+
+
+def _proj_ab2(x, wx0, wx1, wdt0, wdt1, bias0, bias1, A0, A1, R, prec):
+    """Both directions of a pair projected from ONE x, with the two
+    (T,D)@(D,C) dbc matmuls (C=R+2, ~34 of 128 MXU lanes each) PACKED into a
+    single (T,D)@(D,2C) matmul — halves MXU passes at the price of dir 1's
+    dbc columns starting at an unaligned lane offset (a Mosaic relayout on
+    the slice).  Trace-time knob ``TRAMBA_PACK_DBC``; callers keep their
+    original textual op order when it is off.  Per-column dot products are
+    identical, so on/off is numerically exact (tests/test_pack_dbc.py)."""
+    f32 = jnp.float32
+    wx = jnp.concatenate([wx0.astype(f32), wx1.astype(f32)], axis=0)
+    dbc2 = jax.lax.dot_general(x, wx, (((1,), (1,)), ((), ())),
+                               preferred_element_type=f32, precision=prec)
+    C = R + 2
+
+    def tail(dbc, wdt, bias, A):
+        dt = jax.lax.dot_general(dbc[:, :R], wdt.astype(f32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=f32, precision=prec)
+        delta = jax.nn.softplus(dt + bias.astype(f32))
+        la = delta * A.astype(f32)
+        b = delta * x * dbc[:, R : R + 1]
+        return dbc, la, b
+
+    return (tail(dbc2[:, :C], wdt0, bias0, A0),
+            tail(dbc2[:, C:], wdt1, bias1, A1))
+
+
 def _reduce_chunk(a, b, reverse):
     """Chunk total of the recurrence as a pairwise tree — O(T) work (the
     phase-1 pass must NOT pay the O(T log T) scan; vpu_probe.py shows the
@@ -1312,10 +1351,17 @@ def _pair_phase1_kernel(R, transposed, hi, x_ref, wx_ref, wdt_ref, bias_ref, A_r
         blk = jnp.swapaxes(blk, 0, 1)
     T = blk.shape[0] * blk.shape[1]
     x = blk.reshape(T, -1).astype(jnp.float32)
-    _, la_e, b_e = _proj_ab(x, wx_ref[0], wdt_ref[0], bias_ref[0], A_ref[0], R, prec)
-    Ae, he = _reduce_chunk(jnp.exp(la_e), b_e, reverse=False)
-    _, la_o, b_o = _proj_ab(x, wx_ref[1], wdt_ref[1], bias_ref[1], A_ref[1], R, prec)
-    Ao, ho = _reduce_chunk(jnp.exp(la_o), b_o, reverse=True)
+    if _pack_dbc_on():
+        (_, la_e, b_e), (_, la_o, b_o) = _proj_ab2(
+            x, wx_ref[0], wx_ref[1], wdt_ref[0], wdt_ref[1],
+            bias_ref[0], bias_ref[1], A_ref[0], A_ref[1], R, prec)
+        Ae, he = _reduce_chunk(jnp.exp(la_e), b_e, reverse=False)
+        Ao, ho = _reduce_chunk(jnp.exp(la_o), b_o, reverse=True)
+    else:
+        _, la_e, b_e = _proj_ab(x, wx_ref[0], wdt_ref[0], bias_ref[0], A_ref[0], R, prec)
+        Ae, he = _reduce_chunk(jnp.exp(la_e), b_e, reverse=False)
+        _, la_o, b_o = _proj_ab(x, wx_ref[1], wdt_ref[1], bias_ref[1], A_ref[1], R, prec)
+        Ao, ho = _reduce_chunk(jnp.exp(la_o), b_o, reverse=True)
     out_ref[0, 0, 0, 0] = Ae[0]
     out_ref[0, 0, 0, 1] = he[0]
     out_ref[0, 0, 1, 0] = Ao[0]
@@ -1384,17 +1430,29 @@ def _pair_phase2_kernel(R, transposed, hi, emit_merge, has_line, emit_ysum,
     if _dual_scan_on():
         # interleave the two independent direction scans (scan_rec_log_carry2
         # docstring): both projections first, then alternating pass loops
-        dbc0, la0, b0 = _proj_ab(x, wx_ref[0], wdt_ref[0], bias_ref[0], A_ref[0], R, prec)
-        dbc1, la1, b1 = _proj_ab(x, wx_ref[1], wdt_ref[1], bias_ref[1], A_ref[1], R, prec)
+        if _pack_dbc_on():
+            (dbc0, la0, b0), (dbc1, la1, b1) = _proj_ab2(
+                x, wx_ref[0], wx_ref[1], wdt_ref[0], wdt_ref[1],
+                bias_ref[0], bias_ref[1], A_ref[0], A_ref[1], R, prec)
+        else:
+            dbc0, la0, b0 = _proj_ab(x, wx_ref[0], wdt_ref[0], bias_ref[0], A_ref[0], R, prec)
+            dbc1, la1, b1 = _proj_ab(x, wx_ref[1], wdt_ref[1], bias_ref[1], A_ref[1], R, prec)
         h0, h1 = scan_rec_log_carry2(
             la0, b0, c_ref[0, 0, 0, 0].astype(f32), False,
             la1, b1, c_ref[0, 1, 0, 0].astype(f32), True)
         y = (h0 * dbc0[:, R + 1 : R + 2] + x * Ds_ref[0].astype(f32)) \
             + (h1 * dbc1[:, R + 1 : R + 2] + x * Ds_ref[1].astype(f32))
     else:
+        packed = None
+        if _pack_dbc_on():
+            packed = _proj_ab2(x, wx_ref[0], wx_ref[1], wdt_ref[0], wdt_ref[1],
+                               bias_ref[0], bias_ref[1], A_ref[0], A_ref[1], R, prec)
         y = None
         for d, rev in ((0, False), (1, True)):
-            dbc, la, b = _proj_ab(x, wx_ref[d], wdt_ref[d], bias_ref[d], A_ref[d], R, prec)
+            if packed is not None:
+                dbc, la, b = packed[d]
+            else:
+                dbc, la, b = _proj_ab(x, wx_ref[d], wdt_ref[d], bias_ref[d], A_ref[d], R, prec)
             h = scan_rec_log_carry(la, b, c_ref[0, d, 0, 0].astype(f32), reverse=rev)
             yk = h * dbc[:, R + 1 : R + 2] + x * Ds_ref[d].astype(f32)
             y = yk if y is None else y + yk
