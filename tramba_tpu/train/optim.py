@@ -11,7 +11,8 @@ from typing import Sequence
 
 import optax
 
-__all__ = ["step_decay_schedule", "make_optimizer", "encoder_label_fn"]
+__all__ = ["step_decay_schedule", "make_optimizer", "encoder_label_fn",
+           "fast_forward_schedule"]
 
 
 def step_decay_schedule(base_lr: float, decay_epochs: Sequence[int], decay_factors, steps_per_epoch: int):
@@ -32,6 +33,38 @@ def step_decay_schedule(base_lr: float, decay_epochs: Sequence[int], decay_facto
         return base_lr * factor
 
     return schedule
+
+
+def fast_forward_schedule(opt_state, step: int):
+    """Set every LR-schedule counter (``ScaleByScheduleState.count``) in an
+    optax state tree to ``step``.
+
+    The weights-only ``--resume <path>`` branch restores params but builds a
+    FRESH optimizer state, whose schedule counter restarts at 0 — resuming an
+    80-epoch run at epoch 65 would train at the pre-decay LR until the count
+    caught up.  The reference recomputes LR from the resume epoch instead
+    (``utils/lr.py:11-14`` applied per epoch, ``train.py:223-227``), so the
+    counter must be fast-forwarded to ``start_epoch * steps_per_epoch``.
+    Adam's moment counter (``ScaleByAdamState.count``) is deliberately LEFT
+    at 0: the moments themselves are fresh, and bias correction must match —
+    exactly the reference's fresh ``torch.optim.Adam`` on a weights-only
+    resume."""
+    import jax.numpy as jnp
+
+    count = jnp.asarray(step, jnp.int32)
+
+    def ff(s):
+        if isinstance(s, optax.ScaleByScheduleState):
+            return s._replace(count=count)
+        if isinstance(s, tuple) and hasattr(s, "_fields"):  # NamedTuple states
+            return type(s)(*(ff(v) for v in s))
+        if isinstance(s, (tuple, list)):
+            return type(s)(ff(v) for v in s)
+        if isinstance(s, dict):
+            return {k: ff(v) for k, v in s.items()}
+        return s
+
+    return ff(opt_state)
 
 
 def encoder_label_fn(params) -> dict:
