@@ -1286,6 +1286,22 @@ def _pack_dbc_on():
     return os.environ.get("TRAMBA_PACK_DBC", "1") == "1"
 
 
+def _packed_dbc(x, wx0, wx1, prec):
+    """One (T,D)@(D,2C) matmul for two directions' dbc projections sharing a
+    source ``x``; returns the dir-0 / dir-1 column slices.  The split width C
+    comes from the weights themselves (each ``wx`` is (C, D)), never
+    recomputed from R — so a projection-width change cannot silently
+    misalign dir 1's columns (ADVICE r4).  Shared by :func:`_proj_ab2` and
+    the smallmap megakernel so the packing stays numerically in one place."""
+    assert wx0.shape == wx1.shape, (wx0.shape, wx1.shape)
+    f32 = jnp.float32
+    C = wx0.shape[0]
+    w2 = jnp.concatenate([wx0.astype(f32), wx1.astype(f32)], axis=0)
+    d2 = jax.lax.dot_general(x.astype(f32), w2, (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32, precision=prec)
+    return d2[:, :C], d2[:, C:]
+
+
 def _proj_ab2(x, wx0, wx1, wdt0, wdt1, bias0, bias1, A0, A1, R, prec):
     """Both directions of a pair projected from ONE x, with the two
     (T,D)@(D,C) dbc matmuls (C=R+2, ~34 of 128 MXU lanes each) PACKED into a
@@ -1295,10 +1311,7 @@ def _proj_ab2(x, wx0, wx1, wdt0, wdt1, bias0, bias1, A0, A1, R, prec):
     original textual op order when it is off.  Per-column dot products are
     identical, so on/off is numerically exact (tests/test_pack_dbc.py)."""
     f32 = jnp.float32
-    wx = jnp.concatenate([wx0.astype(f32), wx1.astype(f32)], axis=0)
-    dbc2 = jax.lax.dot_general(x, wx, (((1,), (1,)), ((), ())),
-                               preferred_element_type=f32, precision=prec)
-    C = R + 2
+    dbc_a, dbc_b = _packed_dbc(x, wx0, wx1, prec)
 
     def tail(dbc, wdt, bias, A):
         dt = jax.lax.dot_general(dbc[:, :R], wdt.astype(f32),
@@ -1309,8 +1322,8 @@ def _proj_ab2(x, wx0, wx1, wdt0, wdt1, bias0, bias1, A0, A1, R, prec):
         b = delta * x * dbc[:, R : R + 1]
         return dbc, la, b
 
-    return (tail(dbc2[:, :C], wdt0, bias0, A0),
-            tail(dbc2[:, C:], wdt1, bias1, A1))
+    return (tail(dbc_a, wdt0, bias0, A0),
+            tail(dbc_b, wdt1, bias1, A1))
 
 
 def _reduce_chunk(a, b, reverse):

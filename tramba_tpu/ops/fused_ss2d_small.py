@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tramba_tpu.ops.fused_ss2d import (_col_chunk, _erf, _pack_dbc_on,
-                                       _row_chunk, _vcall)
+                                       _packed_dbc, _row_chunk, _vcall)
 from tramba_tpu.ops.selective_scan import _dual_scan_on, scan_rec_log_multi
 
 __all__ = ["fused_ss2d_small", "smallmap_ok"]
@@ -143,17 +143,8 @@ def _small_kernel(R, H, W, has_pro, has_ln, hi, emit, *refs):
     # TRAMBA_PACK_DBC: the two directions sharing a source view pack their
     # (L,D)@(D,C) matmuls into one (L,D)@(D,2C) — see fused_ss2d._proj_ab2.
     if _pack_dbc_on():
-        C = wx_ref.shape[1]
-
-        def _pack2(seq, ka, kb):
-            w2 = jnp.concatenate([wx_ref[ka].astype(f32), wx_ref[kb].astype(f32)],
-                                 axis=0)
-            d2 = jax.lax.dot_general(seq.astype(f32), w2, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=f32, precision=prec)
-            return d2[:, :C], d2[:, C:]
-
-        dbc0, dbc2 = _pack2(x, 0, 2)
-        dbc1, dbc3 = _pack2(xT, 1, 3)
+        dbc0, dbc2 = _packed_dbc(x, wx_ref[0], wx_ref[2], prec)
+        dbc1, dbc3 = _packed_dbc(xT, wx_ref[1], wx_ref[3], prec)
         dbc = [dbc0, dbc1, dbc2, dbc3]
     else:
         dbc = [
