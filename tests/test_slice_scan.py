@@ -220,3 +220,24 @@ def test_seg_slice_matches_roll_bitexact(T, seg, reverse, monkeypatch):
     ae, he = _oracle(a, b, seg, reverse)
     np.testing.assert_allclose(np.asarray(outs["1"][0]), ae, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(outs["1"][1]), he, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("T", [16, 64, 144, 576])
+@pytest.mark.parametrize("reverse", [False, True])
+def test_radix_head_matches_roll(T, reverse, monkeypatch):
+    """TRAMBA_RADIX_HEAD: one radix-8 round of independent rolls+fmas
+    replaces the three serial s<8 passes (skip_a whole-chunk path only).
+    Same window coverage, flat-sum association instead of the Hillis-Steele
+    tree -> reassociation drift only (measured ~1e-6 abs vs an f64 oracle,
+    same as the roll spelling)."""
+    monkeypatch.setenv("TRAMBA_SLICE_SCAN", "1")
+    a, b = _inputs(T, 16, seed=7)
+    outs = {}
+    for knob in ("0", "1"):
+        monkeypatch.setenv("TRAMBA_RADIX_HEAD", knob)
+        jax.clear_caches()
+        outs[knob] = _run_h_only(
+            lambda x, y: _scan_masked(x, y, T, reverse, need_a=False), a, b)
+    jax.clear_caches()
+    np.testing.assert_allclose(np.asarray(outs["1"]), np.asarray(outs["0"]),
+                               rtol=1e-5, atol=1e-6)

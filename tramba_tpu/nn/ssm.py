@@ -10,6 +10,7 @@ GELU -> out-projection.  Parameter shapes keep the reference's stacked
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -76,6 +77,29 @@ class _Conv2dParams(nn.Module):
 __all__ = ["SS2D"]
 
 
+def _resolve_hybrid_backend(L: int) -> str:
+    """Per-block routing for ``backend='hybrid_tp_sp'`` (3-axis dp x tp x sp).
+
+    Sequence parallelism pays off where sequences are long (the carry
+    exchange is O(1) per block vs O(L) local work) and tensor parallelism
+    where channels are wide but L is short — so route each SS2D by its own
+    L: >= TRAMBA_HYBRID_SP_MIN_L (default 4096, i.e. the 64px+ maps at
+    384px inputs) and divisible over the ambient 'seq' axis -> the
+    sequence-parallel scan; everything else -> the tensor-parallel core.
+    Both ambient meshes must be installed (use_tensor_mesh +
+    use_sequence_mesh over one 3-axis mesh); the two shard_maps are
+    siblings over the same mesh, never nested."""
+    from tramba_tpu.parallel import seq_scan
+
+    min_l = int(os.environ.get("TRAMBA_HYBRID_SP_MIN_L", "4096"))
+    cur = getattr(seq_scan._ctx, "mesh", None)
+    if cur is not None:
+        mesh, axis, _ = cur
+        if L >= min_l and L % mesh.shape[axis] == 0:
+            return "seq_parallel"
+    return "tensor_parallel"
+
+
 def _dt_bias_init(dt_min=0.001, dt_max=0.1, dt_init_floor=1e-4):
     """softplus^{-1}(dt) with dt ~ LogUniform[dt_min, dt_max] (mamba_init.py:19-27)."""
 
@@ -131,7 +155,10 @@ class SS2D(nn.Module):
         N = self.d_state
         K = self.k_group
 
-        if self.backend == "tensor_parallel":
+        backend = self.backend
+        if backend == "hybrid_tp_sp":
+            backend = _resolve_hybrid_backend(L)
+        if backend == "tensor_parallel":
             # d_inner sharded over the ambient 'model' mesh axis (dp x tp x sp
             # story: parallel/tp.py); identical param tree to the other paths
             if N != 1 or self.bias or self.conv_bias or self.d_conv != 3:
@@ -155,7 +182,7 @@ class SS2D(nn.Module):
                                         self.scan_param or 0)
 
         on_tpu = jax.default_backend() == "tpu"
-        kernel_ok = self.backend == "pallas" or (self.backend is None and on_tpu)
+        kernel_ok = backend == "pallas" or (backend is None and on_tpu)
         small_base = (
             kernel_ok
             and N == 1
@@ -187,7 +214,7 @@ class SS2D(nn.Module):
             and not self.bias
             and not self.conv_bias
             and prologue_fusable(H, W, self.d_model, d_inner, self.dtype,
-                                 force=self.backend == "pallas")
+                                 force=backend == "pallas")
         )
         if use_prologue:
             w_in = _DenseParams(self.d_model, d_inner, name="in_proj")()
@@ -253,14 +280,14 @@ class SS2D(nn.Module):
             if N == 1 and kernel_ok:
                 ys = fused_ss2d_core(xs, x_proj_w, dt_w, dt_b, A_logs, Ds)
             elif N == 1:
-                ys = composed_ss2d_core(xs, x_proj_w, dt_w, dt_b, A_logs, Ds, backend=self.backend)
+                ys = composed_ss2d_core(xs, x_proj_w, dt_w, dt_b, A_logs, Ds, backend=backend)
             else:
                 cd = self.dtype
                 dbc = jnp.einsum("bkld,kcd->bklc", xs.astype(cd), x_proj_w.astype(cd))
                 dts, Bc, Cc = jnp.split(dbc, [R, R + N], axis=-1)
                 dts = jnp.einsum("bklr,kdr->bkld", dts, dt_w.astype(cd))
                 A = -jnp.exp(A_logs.astype(jnp.float32))
-                ys = selective_scan(xs, dts, A, Bc, Cc, Ds, dt_b, backend=self.backend)
+                ys = selective_scan(xs, dts, A, Bc, Cc, Ds, dt_b, backend=backend)
             y = cross_merge(ys, self.scan_kind, H, W, self.scan_param)
             yf = y.astype(jnp.float32)
             mean = jnp.mean(yf, axis=-1, keepdims=True)

@@ -160,6 +160,43 @@ def _scan_masked(a, b, seg, reverse, need_a=True):
     s = 1
     done = 0
     a_view = None  # shrinking live-rows view of a (suffix fwd / prefix rev)
+    use_radix = (os.environ.get("TRAMBA_RADIX_HEAD", "0") == "1"
+                 and use_slice and skip_a and passes_cap < 0 and seg >= 16)
+    if use_radix:
+        # Radix-8 head round (round 5, Mosaic-level attempt): ONE round of 7
+        # INDEPENDENT rolls+fmas replaces the three serial sub-sublane passes
+        # (s=1,2,4) — the passes the pass sweep (docs/PERF.md 2.6) bills
+        # highest and whose intra-vreg rotates no slice spelling can remove.
+        # After the round, row t holds the exact 8-window prefix
+        # sum_{k=0..min(t,7)} W_k,t * b_{t-k} — identical coverage to three
+        # Hillis-Steele passes (association differs: flat fma chain vs tree,
+        # ~ulp drift).  The window-product weights A_k = prod_{(t-k, t]} a
+        # build on the a-side (7 rolls + 7 muls + 7 zero-masks), which 2.7
+        # measured off the b-chain's critical path; the b-side is 7 rolls +
+        # 7 fmas with NO cross-op dependencies, so the serial depth drops
+        # from 3 rounds to 1.  Only the skip_a whole-chunk path (the live
+        # default: seeded carries everywhere) qualifies — its continuation
+        # reads a_view = A_8 rows [8:] only, where the wrapped rows of the
+        # unmasked A_k chains are never seen.
+        def rl(v, k):
+            return pltpu.roll(v, shift=(T - k) if reverse else k, axis=0)
+
+        A1 = a
+        A2 = A1 * rl(A1, 1)
+        A3 = A2 * rl(A1, 2)
+        A4 = A2 * rl(A2, 2)
+        A5 = A4 * rl(A1, 4)
+        A6 = A4 * rl(A2, 4)
+        A7 = A4 * rl(A3, 4)
+        A8 = A4 * rl(A4, 4)
+        acc = b
+        for k, Ak in enumerate((A1, A2, A3, A4, A5, A6, A7), start=1):
+            live = (row >= k) if not reverse else (row < T - k)
+            acc = acc + jnp.where(live, Ak, 0.0) * rl(b, k)
+        b = acc
+        a_view = A8[8:] if not reverse else A8[:T - 8]
+        s = 8
+        done = 3
     while s < seg and (passes_cap < 0 or done < passes_cap):
         if use_slice and s >= 8:
             if skip_a:
@@ -408,6 +445,7 @@ def _interleave_ok(las):
         and os.environ.get("TRAMBA_SUFFIX_A", "1") == "1"
         and os.environ.get("TRAMBA_EMPTY_SCAN", "0") == "0"
         and os.environ.get("TRAMBA_MXU_SCAN", "0") == "0"
+        and os.environ.get("TRAMBA_RADIX_HEAD", "0") == "0"
         and int(os.environ.get("TRAMBA_SCAN_PASSES", "-1")) < 0
         and len({la.shape[0] for la in las}) == 1
     )
