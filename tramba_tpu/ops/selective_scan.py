@@ -64,6 +64,33 @@ def _linear_scan_assoc(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return h
 
 
+def _radix8_head(a, b, row, reverse):
+    """One radix-8 round (7 independent rolls + fmas) == three serial s<8
+    Hillis-Steele passes for the skip_a whole-chunk path: returns (b after
+    the 8-window prefix round, a_view = sliding-8-window decay products on
+    the live continuation rows only).  See the call site in _scan_masked for
+    the full rationale; shared by the interleaved (dual-scan) loop."""
+    T = a.shape[0]
+
+    def rl(v, k):
+        return pltpu.roll(v, shift=(T - k) if reverse else k, axis=0)
+
+    A1 = a
+    A2 = A1 * rl(A1, 1)
+    A3 = A2 * rl(A1, 2)
+    A4 = A2 * rl(A2, 2)
+    A5 = A4 * rl(A1, 4)
+    A6 = A4 * rl(A2, 4)
+    A7 = A4 * rl(A3, 4)
+    A8 = A4 * rl(A4, 4)
+    acc = b
+    for k, Ak in enumerate((A1, A2, A3, A4, A5, A6, A7), start=1):
+        live = (row >= k) if not reverse else (row < T - k)
+        acc = acc + jnp.where(live, Ak, 0.0) * rl(b, k)
+    a_view = A8[8:] if not reverse else A8[:T - 8]
+    return acc, a_view
+
+
 def _scan_masked(a, b, seg, reverse, need_a=True):
     """Per-``seg``-segment masked Hillis-Steele over axis 0 (prefix scan
     within each segment; suffix when ``reverse``).  seg == T is the plain
@@ -178,23 +205,7 @@ def _scan_masked(a, b, seg, reverse, need_a=True):
         # default: seeded carries everywhere) qualifies — its continuation
         # reads a_view = A_8 rows [8:] only, where the wrapped rows of the
         # unmasked A_k chains are never seen.
-        def rl(v, k):
-            return pltpu.roll(v, shift=(T - k) if reverse else k, axis=0)
-
-        A1 = a
-        A2 = A1 * rl(A1, 1)
-        A3 = A2 * rl(A1, 2)
-        A4 = A2 * rl(A2, 2)
-        A5 = A4 * rl(A1, 4)
-        A6 = A4 * rl(A2, 4)
-        A7 = A4 * rl(A3, 4)
-        A8 = A4 * rl(A4, 4)
-        acc = b
-        for k, Ak in enumerate((A1, A2, A3, A4, A5, A6, A7), start=1):
-            live = (row >= k) if not reverse else (row < T - k)
-            acc = acc + jnp.where(live, Ak, 0.0) * rl(b, k)
-        b = acc
-        a_view = A8[8:] if not reverse else A8[:T - 8]
+        b, a_view = _radix8_head(a, b, row, reverse)
         s = 8
         done = 3
     while s < seg and (passes_cap < 0 or done < passes_cap):
@@ -385,14 +396,23 @@ def scan_rec_log_carry(la, b, carry, reverse):
 
 
 def _dual_scan_on():
-    return os.environ.get("TRAMBA_DUAL_SCAN", "0") == "1"
+    """Default ON (round 5): interleaving the pass loops of independent scans
+    fills the serial shadow the b-chain's pass-to-pass latency leaves —
+    interleaved seg_ab (probe 126.0): raster 0.94-0.95, line 0.97, guides
+    0.98-1.00, fused-segment TOTAL 101.31 vs 105.04 = 0.96; full-model
+    interleaved scan_ab (4 rounds): 134.33 vs 137.35 ms median = 0.978x,
+    on-arm strictly faster in every round, spreads non-overlapping.  This is
+    the direct positive counterpart of the empty-scan twins' latency story
+    (docs/PERF.md 2.5/2.9): the VPU has spare issue slots during a single
+    scan's serial chain.  TRAMBA_DUAL_SCAN=0 restores sequential scans."""
+    return os.environ.get("TRAMBA_DUAL_SCAN", "1") != "0"
 
 
 def scan_rec_log_carry2(la0, b0, c0, rev0, la1, b1, c1, rev1):
     """Two INDEPENDENT carry-seeded whole-chunk scans with their Hillis-Steele
-    pass loops textually interleaved (knob ``TRAMBA_DUAL_SCAN``; off = two
-    sequential :func:`scan_rec_log_carry` calls, the measured round-5
-    default).
+    pass loops textually interleaved (knob ``TRAMBA_DUAL_SCAN``, default ON —
+    measured win, see :func:`_dual_scan_on`; =0 restores two sequential
+    :func:`scan_rec_log_carry` calls).
 
     Why this might matter (and why it is NOT a retry of the dead overlap
     probe, docs/PERF.md 4.11): carry seeding (2.7) removed the a-side decay
@@ -445,7 +465,6 @@ def _interleave_ok(las):
         and os.environ.get("TRAMBA_SUFFIX_A", "1") == "1"
         and os.environ.get("TRAMBA_EMPTY_SCAN", "0") == "0"
         and os.environ.get("TRAMBA_MXU_SCAN", "0") == "0"
-        and os.environ.get("TRAMBA_RADIX_HEAD", "0") == "0"
         and int(os.environ.get("TRAMBA_SCAN_PASSES", "-1")) < 0
         and len({la.shape[0] for la in las}) == 1
     )
@@ -466,8 +485,9 @@ def _scan_interleaved(las, bs, revs):
     """The interleaved pass loop: per Hillis-Steele shift, issue every
     direction's update before advancing — op-identical per direction to the
     default skip_a spelling in _scan_masked (slice-concat passes at s >= 8
-    with a shrinking suffix a-view, masked rolls below, final-pass decay
-    skipped).  Callers guarantee _interleave_ok."""
+    with a shrinking suffix a-view, masked rolls below — or the radix-8 head
+    round when TRAMBA_RADIX_HEAD=1, matching _scan_masked's spelling — and
+    final-pass decay skipped).  Callers guarantee _interleave_ok."""
     f32 = jnp.float32
     T = las[0].shape[0]
     # [a (full, roll passes), a_view (slice passes), b, rev, row-iota]
@@ -475,6 +495,11 @@ def _scan_interleaved(las, bs, revs):
                jax.lax.broadcasted_iota(jnp.int32, la.shape, 0)]
               for la, b, rev in zip(las, bs, revs)]
     s = 1
+    if os.environ.get("TRAMBA_RADIX_HEAD", "0") == "1" and T >= 16:
+        for st in states:
+            a, _, b, rev, row = st
+            st[2], st[1] = _radix8_head(a, b, row, rev)
+        s = 8
     while s < T:
         for st in states:
             a, a_view, b, rev, row = st
