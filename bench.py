@@ -100,6 +100,17 @@ def main():
         for r in seg_rows
     ]
 
+    # the non-SS2D kernels (VERDICT r4 #3): FFN megakernels + final head at
+    # flagship shapes with per-kernel matmul GFLOP/s and MFU vs the
+    # co-measured MXU peak (depthwise-conv taps are VPU work, listed apart)
+    ffn_rows, ffn_total = rl.measure_ffn_segments(B=batch, dtype=dtype,
+                                                  mxu_tflops=mxu_tflops)
+    ffn_segments = [
+        {"seg": r["seg"], "ms": r["ms"], "n": r["n"],
+         "gflops_per_s": r["gflops_per_s"], "mfu": r["mfu"]}
+        for r in ffn_rows
+    ]
+
     print(
         json.dumps(
             {
@@ -141,6 +152,8 @@ def main():
                 "ss2d_kernel_ms": round(seg_total * 1e3, 2),
                 "model_minus_segments_ms": round(dt * 1e3 - seg_total * 1e3, 2),
                 "segments": segments,
+                "ffn_kernel_ms": round(ffn_total * 1e3, 2),
+                "ffn_segments": ffn_segments,
             }
         )
     )

@@ -180,6 +180,95 @@ def measure_segments(B=16, dtype=jnp.bfloat16, hbm_gbs=None):
     return rows, total
 
 
+# FFN / head kernels at flagship shapes (VERDICT r4 #3: per-kernel GFLOP/s +
+# MFU for the non-SS2D 33 ms).  (name, H, d_model, kind, n_blocks); hidden =
+# 4 * d_model.  'plain' = fused LN+MLP (encoder VSSBlocks + guide FreqBlocks),
+# 'dwms' = fused LN+DWMSMlp (decoder MultiScale blocks, 83-tap conv stack).
+FFN_SEGMENTS = [
+    ("ffn_enc_s1", 96, 128, "plain", 2),
+    ("ffn_enc_s2", 48, 256, "plain", 2),
+    ("ffn_enc_s3", 24, 512, "plain", 15),
+    ("ffn_enc_s4", 12, 1024, "plain", 2),
+    ("ffn_dec_s0", 24, 512, "dwms", 2),
+    ("ffn_dec_s1", 48, 256, "dwms", 2),
+    ("ffn_dec_s2", 96, 128, "dwms", 2),
+    ("ffn_guide24", 24, 512, "plain", 1),
+    ("ffn_guide48", 48, 256, "plain", 1),
+    ("ffn_guide96", 96, 128, "plain", 1),
+    ("final_head", 96, 128, "head", 1),
+]
+
+
+def _ffn_fn(kind, H, d, B, dtype):
+    """Stacked jit over the raw fused FFN/head kernel at stage shapes.
+    Returns (fn, args, matmul_gflop_per_call, dw_gflop_per_call)."""
+    import numpy as np
+
+    from tramba_tpu.ops.fused_expand import fused_final_head
+    from tramba_tpu.ops.fused_mlp import fused_ln_dwmsmlp, fused_ln_mlp
+    from tramba_tpu.utils.jit import tramba_jit
+
+    rng = np.random.default_rng(0)
+    L = H * H
+    h = 4 * d
+    f32 = jnp.float32
+    x = jnp.asarray(rng.normal(size=(B, H, H, d)).astype(np.float32) * 0.1, dtype)
+    ln_s, ln_b = jnp.ones((d,), f32), jnp.zeros((d,), f32)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.05)
+    if kind == "plain":
+        w1, b1, w2, b2 = mk(d, h), mk(h), mk(h, d), mk(d)
+        call = lambda a: fused_ln_mlp(a.reshape(B, L, d), ln_s, ln_b, w1, b1, w2, b2)
+        mm_gf = 2 * B * L * d * h * 2 / 1e9
+        dw_gf = 0.0
+    elif kind == "dwms":
+        w1, b1, w2, b2 = mk(d, h), mk(h), mk(h, d), mk(d)
+        k3, c3 = mk(3, 3, 1, h), mk(h)
+        k5, c5 = mk(5, 5, 1, h), mk(h)
+        k7, c7 = mk(7, 7, 1, h), mk(h)
+        call = lambda a: fused_ln_dwmsmlp(a, ln_s, ln_b, w1, b1, k3, c3, k5, c5,
+                                          k7, c7, w2, b2)
+        mm_gf = 2 * B * L * d * h * 2 / 1e9
+        dw_gf = 2 * B * L * h * (9 + 25 + 49) / 1e9  # VPU depthwise taps
+    else:  # final head: Dense(C -> 16C) + per-slot LN + seg conv, fused
+        w1 = mk(d, 16 * d)
+        wh, bh = mk(d), mk(1)
+        call = lambda a: fused_final_head(a, w1, ln_s, ln_b, wh, bh)
+        # the fused spelling runs the expand + 3 selector contractions
+        mm_gf = (2 * B * L * d * 16 * d + 3 * 2 * B * L * 16 * d * 16) / 1e9
+        dw_gf = 0.0
+
+    @tramba_jit
+    def stacked(a):
+        tot = jnp.float32(0)
+        for i in range(_STACK):
+            out = call(a + jnp.asarray(i, dtype) * jnp.asarray(1e-6, dtype))
+            tot = tot + jnp.sum(out.astype(jnp.float32))
+        return tot
+
+    return stacked, (x,), mm_gf, dw_gf
+
+
+def measure_ffn_segments(B=16, dtype=jnp.bfloat16, mxu_tflops=None):
+    """FFN/head kernel table: ms, matmul GFLOP/s, MFU vs the co-measured MXU
+    peak (VPU depthwise taps reported separately, not in MFU)."""
+    rows = []
+    total = 0.0
+    for name, H, d, kind, n in FFN_SEGMENTS:
+        f, args, mm_gf, dw_gf = _ffn_fn(kind, H, d, B, dtype)
+        dt = _time(f, *args, iters=10, warmup=2) / _STACK
+        gfps = mm_gf / dt
+        rows.append({
+            "seg": name, "kind": kind, "H": H, "d": d, "n": n,
+            "ms": round(dt * 1e3, 3),
+            "matmul_gflop": round(mm_gf, 2),
+            "dw_gflop": round(dw_gf, 2),
+            "gflops_per_s": round(gfps, 0),
+            "mfu": round(gfps / (mxu_tflops * 1e3), 3) if mxu_tflops else None,
+        })
+        total += dt * n
+    return rows, total
+
+
 def measure_model(B=16, dtype=jnp.bfloat16):
     from tramba_tpu.models.tramba import TrambaV
 

@@ -241,3 +241,43 @@ def test_radix_head_matches_roll(T, reverse, monkeypatch):
     jax.clear_caches()
     np.testing.assert_allclose(np.asarray(outs["1"]), np.asarray(outs["0"]),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("T,seg", [(288, 96), (96, 96), (64, 8)])
+def test_line2_interleave_matches_sequential(T, seg, monkeypatch):
+    """scan_rec_log_carry_line2 (the line-pair kernel's even whole-chunk +
+    odd per-line pair) interleaved vs its two sequential calls: op-identical
+    per direction, so bit-exact."""
+    from tramba_tpu.ops.selective_scan import (scan_rec_log,
+                                               scan_rec_log_carry,
+                                               scan_rec_log_carry_line2)
+
+    rng = np.random.default_rng(11)
+    D = 16
+    la_e = jnp.asarray(-np.exp(rng.normal(size=(T, D)) * 0.5 - 0.7).astype(np.float32))
+    b_e = jnp.asarray((rng.normal(size=(T, D)) * 0.5).astype(np.float32))
+    la_o = jnp.asarray(-np.exp(rng.normal(size=(T, D)) * 0.5 - 0.7).astype(np.float32))
+    b_o = jnp.asarray((rng.normal(size=(T, D)) * 0.5).astype(np.float32))
+    c_e = jnp.asarray((rng.normal(size=(1, D)) * 0.5).astype(np.float32))
+
+    def kern(le_ref, be_ref, lo_ref, bo_ref, c_ref, he_ref, al_ref, hp_ref):
+        he, (al, hp) = scan_rec_log_carry_line2(
+            le_ref[...], be_ref[...], c_ref[...], lo_ref[...], bo_ref[...], seg)
+        he_ref[...] = he
+        al_ref[...] = al
+        hp_ref[...] = hp
+
+    def run():
+        return pl.pallas_call(
+            kern, out_shape=[jax.ShapeDtypeStruct((T, D), jnp.float32)] * 3,
+            interpret=True)(la_e, b_e, la_o, b_o, c_e)
+
+    monkeypatch.setenv("TRAMBA_DUAL_SCAN", "1")
+    jax.clear_caches()
+    he1, al1, hp1 = run()
+    monkeypatch.setenv("TRAMBA_DUAL_SCAN", "0")
+    jax.clear_caches()
+    he0, al0, hp0 = run()
+    np.testing.assert_array_equal(np.asarray(he1), np.asarray(he0))
+    np.testing.assert_array_equal(np.asarray(al1), np.asarray(al0))
+    np.testing.assert_array_equal(np.asarray(hp1), np.asarray(hp0))

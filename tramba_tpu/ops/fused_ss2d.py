@@ -29,7 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 from tramba_tpu.ops.selective_scan import (_dual_scan_on, _scan_masked, _vcall,
                                             linear_scan, scan_rec_log,
                                             scan_rec_log_carry,
-                                            scan_rec_log_carry2)
+                                            scan_rec_log_carry2,
+                                            scan_rec_log_carry_line2)
 
 __all__ = ["fused_ss2d_core", "composed_ss2d_core"]
 
@@ -829,15 +830,16 @@ def _line_pair_kernel(R, Hline, hi, x_ref, wxe_ref, wxo_ref, wdte_ref, wdto_ref,
         pk = _proj_ab2(x, wxe_ref[0], wxo_ref[0], wdte_ref[0], wdto_ref[0],
                        be_ref[0], bo_ref[0], Ae_ref[0], Ao_ref[0], R, prec)
 
-    # even direction: continuous forward scan across the whole sequence
-    dbc_e, la_e, b_e = pk[0] if pk else proj(wxe_ref, wdte_ref, be_ref, Ae_ref)
-    h_e = scan_rec_log_carry(la_e, b_e, carry_e[...], reverse=False)
-    carry_e[...] = h_e[T - 1 :, :]
-
+    # even direction: continuous forward scan across the whole sequence;
     # odd direction: per-line reversed scan, carry chaining forward through
-    # lines (the flipped sequence visits lines in order, pixels reversed)
+    # lines (the flipped sequence visits lines in order, pixels reversed).
+    # The two scans are independent — their pass loops interleave under
+    # TRAMBA_DUAL_SCAN (scan_rec_log_carry_line2; PERF.md 2.10)
+    dbc_e, la_e, b_e = pk[0] if pk else proj(wxe_ref, wdte_ref, be_ref, Ae_ref)
     dbc_o, la_o, b_o = pk[1] if pk else proj(wxo_ref, wdto_ref, bo_ref, Ao_ref)
-    A_ln, hp_ln = _scan_lines_log(la_o, b_o, Hline)
+    h_e, (A_ln, hp_ln) = scan_rec_log_carry_line2(
+        la_e, b_e, carry_e[...], la_o, b_o, Hline)
+    carry_e[...] = h_e[T - 1 :, :]
     c = carry_o[...]  # (1, D)
     segs = []
     for m in range(T // Hline):

@@ -470,6 +470,77 @@ def _interleave_ok(las):
     )
 
 
+def scan_rec_log_carry_line2(la_e, b_e, c_e, la_o, b_o, seg_o):
+    """The line-pair kernel's two independent directions with interleaved
+    pass loops (TRAMBA_DUAL_SCAN): the EVEN direction is a carry-seeded
+    whole-chunk forward scan (skip_a spelling), the ODD one a per-line
+    (seg = line length) REVERSED segmented scan that must keep its
+    cumulative decay (the caller chains carries across lines with it).
+    Their pass structures differ — whole-chunk slice-concat vs the
+    (T//seg, seg, D) seg-slice reshape — so scan_rec_log_carry2 cannot
+    serve; this loop issues one pass of each per shift, each direction
+    op-identical to its sequential spelling (the even side stops feeding
+    passes at s >= T, the odd at s >= seg).  Returns (h_e, (A_ln, hp_ln)).
+    Falls back to the two sequential calls whenever any scan knob is off
+    its measured default."""
+    T = la_e.shape[0]
+    ok = (
+        _dual_scan_on()
+        and os.environ.get("TRAMBA_SEED_CARRY", "1") == "1"
+        and os.environ.get("TRAMBA_SLICE_SCAN", "1") == "1"
+        and os.environ.get("TRAMBA_SEG_SLICE_SCAN", "1") == "1"
+        and os.environ.get("TRAMBA_SUFFIX_A", "1") == "1"
+        and os.environ.get("TRAMBA_EMPTY_SCAN", "0") == "0"
+        and os.environ.get("TRAMBA_MXU_SCAN", "0") == "0"
+        and os.environ.get("TRAMBA_RADIX_HEAD", "0") == "0"
+        and int(os.environ.get("TRAMBA_SCAN_PASSES", "-1")) < 0
+        and seg_o % 8 == 0 and T % seg_o == 0 and T >= 8
+    )
+    if not ok:
+        h_e = scan_rec_log_carry(la_e, b_e, c_e, reverse=False)
+        return h_e, scan_rec_log(la_o, b_o, seg_o, reverse=True)
+    f32 = jnp.float32
+    lef = la_e.astype(f32)
+    row = jax.lax.broadcasted_iota(jnp.int32, la_e.shape, 0)
+    be = jnp.where(row == 0, b_e + jnp.exp(lef[0:1]) * c_e, b_e)
+    ae = jnp.exp(lef)
+    ao = jnp.exp(la_o.astype(f32))
+    bo = b_o
+    av = None
+    sh3 = (T // seg_o, seg_o) + la_o.shape[1:]
+    s = 1
+    while s < T or s < seg_o:
+        if s < T:  # even: whole-chunk forward, skip_a spelling
+            if s >= 8:
+                if av is None:
+                    av = ae[s:]
+                be = jnp.concatenate([be[:s], be[s:] + av * be[:-s]], axis=0)
+                if 2 * s < T:
+                    av = av[s:] * av[:T - 2 * s]
+            else:
+                b_sh = jnp.where(row >= s, pltpu.roll(be, shift=s, axis=0), 0.0)
+                be = be + ae * b_sh
+                if 2 * s < T:
+                    a_sh = pltpu.roll(ae, shift=s, axis=0)
+                    ae = ae * jnp.where(row >= s, a_sh, 1.0)
+        if s < seg_o:  # odd: per-line reversed, full decay kept
+            if s >= 8:
+                a3, b3 = ao.reshape(sh3), bo.reshape(sh3)
+                e = seg_o - s
+                b3 = jnp.concatenate(
+                    [b3[:, :e] + a3[:, :e] * b3[:, s:], b3[:, e:]], axis=1)
+                a3 = jnp.concatenate([a3[:, :e] * a3[:, s:], a3[:, e:]], axis=1)
+                ao, bo = a3.reshape(ao.shape), b3.reshape(bo.shape)
+            else:
+                valid = (row % seg_o) < seg_o - s
+                b_sh = jnp.where(valid, pltpu.roll(bo, shift=T - s, axis=0), 0.0)
+                bo = bo + ao * b_sh
+                a_sh = pltpu.roll(ao, shift=T - s, axis=0)
+                ao = ao * jnp.where(valid, a_sh, 1.0)
+        s *= 2
+    return be, (ao, bo)
+
+
 def scan_rec_log_multi(las, bs, revs):
     """N independent whole-chunk need_a=False scans (no carry — the smallmap
     megakernel's four directions), pass loops interleaved under
