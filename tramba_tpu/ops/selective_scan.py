@@ -432,13 +432,25 @@ def scan_rec_log_carry2(la0, b0, c0, rev0, la1, b1, c1, rev1):
     any scan knob is off its default (floor twins, pass sweeps, MXU scan,
     roll spelling) so every measurement knob keeps its contract, or when the
     two chunks' lengths differ."""
-    if not _interleave_ok([la0, la1]):
-        return (scan_rec_log_carry(la0, b0, c0, rev0),
-                scan_rec_log_carry(la1, b1, c1, rev1))
+    h0, h1 = scan_rec_log_carry_multi([la0, la1], [b0, b1], [c0, c1],
+                                      [rev0, rev1])
+    return h0, h1
+
+
+def scan_rec_log_carry_multi(las, bs, cs, revs):
+    """N independent carry-seeded whole-chunk scans with interleaved pass
+    loops (TRAMBA_DUAL_SCAN); sequential :func:`scan_rec_log_carry` calls
+    otherwise.  The N=4 case serves a phase-2 kernel processing two
+    carry-independent half-chunks x two directions (scripts/multi_scan_probe
+    measures whether 4-way beats 2-way before the model routes through it).
+    Returns [h, ...]."""
+    if not _interleave_ok(las):
+        return [scan_rec_log_carry(la, b, c, rev)
+                for la, b, c, rev in zip(las, bs, cs, revs)]
     f32 = jnp.float32
-    T = la0.shape[0]
-    las, bs = [], []
-    for la, b, c, rev in ((la0, b0, c0, rev0), (la1, b1, c1, rev1)):
+    T = las[0].shape[0]
+    las2, bs2 = [], []
+    for la, b, c, rev in zip(las, bs, cs, revs):
         laf = la.astype(f32)
         row = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
         edge = (row == 0) if not rev else (row == T - 1)
@@ -447,10 +459,9 @@ def scan_rec_log_carry2(la0, b0, c0, rev0, la1, b1, c1, rev1):
         else:
             a_edge = jnp.exp(jnp.sum(jnp.where(edge, laf, 0.0), axis=0,
                                      keepdims=True))
-        las.append(la)
-        bs.append(jnp.where(edge, b + a_edge * c, b))
-    h0, h1 = _scan_interleaved(las, bs, [rev0, rev1])
-    return h0, h1
+        las2.append(la)
+        bs2.append(jnp.where(edge, b + a_edge * c, b))
+    return _scan_interleaved(las2, bs2, revs)
 
 
 def _interleave_ok(las):
