@@ -170,3 +170,35 @@ def test_model_level_tensor_parallel():
         got = jax.tree.map(np.asarray, got)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-4)
+
+
+def test_model_level_hybrid_tp_sp(monkeypatch):
+    """3-axis dp x tp x sp: 'hybrid_tp_sp' routes each SS2D by its own L —
+    long sequences through the sequence-parallel scan ('seq'), the rest
+    through the tensor-parallel core ('model') — and the whole tiny
+    flagship's output matches the composed single-device model."""
+    from tramba_tpu.models.tramba import TrambaV
+    from tramba_tpu.parallel.seq_scan import use_sequence_mesh
+    from tramba_tpu.parallel.tp import use_tensor_mesh
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+
+    def build(backend):
+        return TrambaV(img_size=64, dims=8, enc_depths=(1, 1, 1, 1),
+                       dec_depths=(1, 1, 1, 1), ssm_backend=backend)
+
+    variables = build("assoc").init(jax.random.key(0), x)
+    want = build("assoc").apply(variables, x)
+
+    from jax.sharding import Mesh
+
+    monkeypatch.setenv("TRAMBA_HYBRID_SP_MIN_L", "256")  # 64px model: stage 1 -> sp
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 2, 2),
+                ("data", "model", "seq"))
+    with use_tensor_mesh(mesh, "model", batch_axis="data"), \
+            use_sequence_mesh(mesh, "seq", batch_axis="data"):
+        got = jax.jit(lambda v, a: build("hybrid_tp_sp").apply(v, a))(variables, x)
+        got = jax.tree.map(np.asarray, got)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-4)
