@@ -17,6 +17,7 @@ where the HBM traffic was.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -129,7 +130,15 @@ def _mlp_kernel(hi, x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref
 def _mlp_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, interpret=False):
     B, L, D = x.shape
     Hd = w1.shape[1]
-    T = _pick_chunk(L, max(8, 131072 // Hd))
+    # TRAMBA_MLP_BUDGET: L-chunk element budget (T = budget // Hd).  Round-5
+    # tile A/B (VERDICT r4 #3; interleaved 3-round, idle chip): 4x the old
+    # 128K budget is uniformly faster on every plain-MLP stage — enc_s4
+    # 0.966 -> 0.651 ms (-33%), enc_s3 0.774 -> 0.686 (x15 blocks), enc_s1
+    # 1.403 -> 1.248, guides -4..-9% — fewer grid steps amortize the
+    # per-step prologue while the fp32 hidden tile stays ~2 MB at any Hd
+    # (T*Hd is constant).  Default 512K since; =131072 restores the old
+    # tiling (PERF.md 2.12).
+    T = _pick_chunk(L, max(8, int(os.environ.get("TRAMBA_MLP_BUDGET", "524288")) // Hd))
     nT = L // T
     cd = x.dtype
     vec = lambda v: v.astype(jnp.float32)[None, :]
@@ -224,7 +233,15 @@ def _mlp_bwd_kernel(hi, x_ref, g_ref, s_ref, bn_ref, w1_ref, b1_ref, w2_ref,
 def _mlp_bwd_pallas(x, g, ln_scale, ln_bias, w1, b1, w2, interpret=False):
     B, L, D = x.shape
     Hd = w1.shape[1]
-    T = _pick_chunk(L, max(8, 131072 // Hd))
+    # TRAMBA_MLP_BUDGET: L-chunk element budget (T = budget // Hd).  Round-5
+    # tile A/B (VERDICT r4 #3; interleaved 3-round, idle chip): 4x the old
+    # 128K budget is uniformly faster on every plain-MLP stage — enc_s4
+    # 0.966 -> 0.651 ms (-33%), enc_s3 0.774 -> 0.686 (x15 blocks), enc_s1
+    # 1.403 -> 1.248, guides -4..-9% — fewer grid steps amortize the
+    # per-step prologue while the fp32 hidden tile stays ~2 MB at any Hd
+    # (T*Hd is constant).  Default 512K since; =131072 restores the old
+    # tiling (PERF.md 2.12).
+    T = _pick_chunk(L, max(8, int(os.environ.get("TRAMBA_MLP_BUDGET", "524288")) // Hd))
     nT = L // T
     cd = x.dtype
     vec = lambda v: v.astype(jnp.float32)[None, :]
