@@ -15,6 +15,7 @@ Used for the round-3 two-level-MXU-scan A/B (verdict: dead neutral; the
 experiment was deleted — see ops/selective_scan.py _scan_masked notes).
 
 Usage: python scripts/scan_ab.py --knob TRAMBA_TWO_PHASE_TRAIN [--iters 12]
+       numeric knobs: --knob TRAMBA_MLP_BUDGET --on 524288 --off 131072
 """
 
 import argparse
@@ -36,6 +37,8 @@ def main():
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--knob", required=True)
+    ap.add_argument("--on", default="1", help="knob value for the 'on' arm")
+    ap.add_argument("--off", default="0", help="knob value for the 'off' arm")
     ap.add_argument("--batch", type=int, default=16)
     args = ap.parse_args()
 
@@ -48,7 +51,7 @@ def main():
     params = tramba_jit(lambda k: model.init(k, x))(jax.random.key(0))
 
     fns = {}
-    for name, flag in (("on", "1"), ("off", "0")):
+    for name, flag in (("on", args.on), ("off", args.off)):
         os.environ[args.knob] = flag
         jax.clear_caches()  # see docstring: defeat the inner-jit trace cache
 
